@@ -1,0 +1,110 @@
+"""Exact Gaussian-process regression.
+
+Pure-functional replacement for gpflow.models.GPR as used throughout the
+reference (constructed at GPR/model_trainer.py:15, Multi-Input_GPR/
+models/model_trainer.py:31; predictions at GPR/predictor.py:5-8). The model is
+a pytree (kernel + mean function + Gaussian likelihood), the loss is
+`neg_log_marginal_likelihood(model, X, Y)`, and gradients come from
+`jax.grad` — no TF variables, no object state.
+
+Math (GPflow-parity):
+    L = chol(K(X,X) + σ² I)
+    log p(Y|X,θ) = -½ Σ_p ‖L⁻¹(Y_p-μ)‖² - P Σ log diag(L) - NP/2 log 2π
+    predict_f: mean = K*ₓᵀ (K+σ²I)⁻¹ (Y-μ(X)) + μ(X*)
+               var  = K** - K*ₓᵀ (K+σ²I)⁻¹ K*ₓ  (diag or full)
+    predict_y = predict_f + likelihood variance (GPR/predictor.py:6-7)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from portfoliooptgp_tpu.kernels.base import Kernel, pytree_dataclass
+from portfoliooptgp_tpu.kernels.means import MeanFunction, Zero
+from portfoliooptgp_tpu.models.likelihoods import Gaussian
+from portfoliooptgp_tpu.ops import linalg
+
+
+@pytree_dataclass
+class GPR:
+    """Exact GPR model pytree: hyperparameters only — data is passed to the
+    pure functions below, so one model structure can be vmapped over stacked
+    restarts (SURVEY.md §2.3 restart/kernel batch parallelism)."""
+
+    kernel: Kernel
+    likelihood: Gaussian
+    mean_function: MeanFunction
+
+    @classmethod
+    def create(cls, kernel, noise_variance=1.0, mean_function=None):
+        return cls(
+            kernel=kernel,
+            likelihood=Gaussian.create(noise_variance),
+            mean_function=mean_function if mean_function is not None else Zero(),
+        )
+
+
+class GPRPosterior(NamedTuple):
+    """Cached posterior: reused across repeated predict calls, mirroring how
+    the reference calls predict_f/predict_y many times per trained model
+    (GPR/main.py:47-49, Multi-Input_GPR/main.py:434)."""
+
+    L: jnp.ndarray  # chol(K + σ²I), (N, N)
+    alpha: jnp.ndarray  # (K+σ²I)⁻¹ (Y - μ(X)), (N, P)
+    X: jnp.ndarray
+    err: jnp.ndarray
+
+
+def _noisy_kernel(model: GPR, X):
+    K = model.kernel.K(X)
+    return linalg.add_diag(K, model.likelihood.variance)
+
+
+def log_marginal_likelihood(model: GPR, X, Y):
+    Ks = _noisy_kernel(model, X)
+    L = linalg.cholesky(Ks)
+    err = Y - model.mean_function(X)
+    n, p = err.shape
+    quad = linalg.mahalanobis_from_chol(L, err)
+    logdet = linalg.logdet_from_chol(L)
+    return -0.5 * quad - 0.5 * p * logdet - 0.5 * n * p * jnp.log(2.0 * jnp.pi)
+
+
+def neg_log_marginal_likelihood(model: GPR, X, Y):
+    """`model.training_loss` parity (minimized at GPR/model_trainer.py:18-19)."""
+    return -log_marginal_likelihood(model, X, Y)
+
+
+def posterior(model: GPR, X, Y) -> GPRPosterior:
+    Ks = _noisy_kernel(model, X)
+    L = linalg.cholesky(Ks)
+    err = Y - model.mean_function(X)
+    alpha = linalg.chol_solve(L, err)
+    return GPRPosterior(L=L, alpha=alpha, X=X, err=err)
+
+
+def predict_f(model: GPR, X, Y, Xnew, full_cov: bool = False, cache: Optional[GPRPosterior] = None):
+    """Posterior mean/variance of the latent f at Xnew.
+
+    Returns (mean (M,P), var (M,P)) for full_cov=False or (mean, cov (M,M))
+    for full_cov=True — matching gpflow predict_f's shapes as consumed at
+    GPR/predictor.py:6 and Multi-Input_GPR/main.py:434.
+    """
+    post = cache if cache is not None else posterior(model, X, Y)
+    Kmn = model.kernel.K(post.X, Xnew)  # (N, M)
+    mean = Kmn.T @ post.alpha + model.mean_function(Xnew)
+    A = linalg.solve_lower(post.L, Kmn)  # (N, M)
+    if full_cov:
+        cov = model.kernel.K(Xnew) - A.T @ A
+        return mean, cov
+    var = model.kernel.Kdiag(Xnew) - jnp.sum(A * A, axis=0)
+    var = jnp.maximum(var, 0.0)
+    return mean, jnp.broadcast_to(var[:, None], mean.shape)
+
+
+def predict_y(model: GPR, X, Y, Xnew, cache: Optional[GPRPosterior] = None):
+    """predict_f + likelihood variance (GPR/predictor.py:7)."""
+    mean, var = predict_f(model, X, Y, Xnew, full_cov=False, cache=cache)
+    return model.likelihood.predict_mean_and_var(mean, var)
