@@ -1,0 +1,12 @@
+"""Trainers: jittable L-BFGS, batched restarts, kernel-menu selection."""
+
+from portfoliooptgp_tpu.train import lbfgs as lbfgs
+from portfoliooptgp_tpu.train.lbfgs import FitResult, fit, fit_batched, freeze_leaves
+from portfoliooptgp_tpu.train.trainer import (
+    MenuResult,
+    TrainedModel,
+    train_best_model,
+    train_likelihood,
+    train_model,
+    train_restarts,
+)
