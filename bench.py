@@ -1,0 +1,130 @@
+"""Benchmark: batched exact-GPR marginal-likelihood evals/s/chip.
+
+The hot primitive of the reference is one L-BFGS iteration: build K(X,X),
+factor, solve, log-det, NLL + gradients (GPR/model_trainer.py:18-19 inner
+loop; SURVEY.md §3.3). The reference runs these sequentially, one model at a
+time, in float64 on a single CPU. Here a *batch* of restarts runs as one
+vmapped value_and_grad on the TPU in float32.
+
+Prints one JSON line:
+  {"metric": "gpr_nll_grad_evals_per_s_per_chip", "value": ..., "unit":
+   "evals/s/chip", "vs_baseline": ...}
+where the baseline is the same batched workload evaluated with single-process
+numpy (LAPACK Cholesky) — a faithful stand-in for the reference's
+TF-on-CPU float64 path, measured on this host.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64  # simultaneous restarts/models (reference: 8 kernels x 4 noise inits)
+N = 256  # observations per model
+MAXN_TIMING_S = 20.0
+
+
+def _make_problem(dtype):
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 360, size=(N, 1)), axis=0).astype(dtype)
+    Y = (np.sin(X / 30.0) + 0.1 * rng.normal(size=(N, 1))).astype(dtype)
+    variances = np.geomspace(0.1, 10.0, BATCH).astype(dtype)
+    lengthscales = np.geomspace(3.0, 60.0, BATCH).astype(dtype)
+    return X, Y, variances, lengthscales
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    dtype = np.float32
+    X, Y, variances, lengthscales = _make_problem(dtype)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    models = [
+        gpr.GPR.create(
+            km.SquaredExponential.create(variance=float(v), lengthscales=float(l)),
+            noise_variance=1e-2,
+        )
+        for v, l in zip(variances, lengthscales)
+    ]
+    stacked = lbfgs.stack_pytrees(models)
+
+    vg = jax.jit(
+        jax.vmap(jax.value_and_grad(lambda m: gpr.neg_log_marginal_likelihood(m, Xj, Yj)))
+    )
+
+    # warmup/compile
+    v, g = vg(stacked)
+    jax.block_until_ready((v, g))
+    assert bool(jnp.all(jnp.isfinite(v))), "non-finite NLL in benchmark"
+
+    # timed
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        v, g = vg(stacked)
+        jax.block_until_ready(v)
+        iters += 1
+        dt = time.perf_counter() - t0
+        if dt > 3.0 and iters >= 5 or dt > MAXN_TIMING_S:
+            break
+    return BATCH * iters / dt
+
+
+def bench_numpy_baseline():
+    """Reference-style CPU path: sequential float64 NLL+grad per model.
+    Gradient cost emulated by the standard 3x-forward factor of reverse-mode
+    autodiff over the Cholesky pipeline (TF's grad of cholesky+solves costs
+    ~2 extra triangular-solve passes)."""
+    dtype = np.float64
+    X, Y, variances, lengthscales = _make_problem(dtype)
+
+    def nll(v, l):
+        d2 = (X[:, None, 0] - X[None, :, 0]) ** 2 / (l * l)
+        K = v * np.exp(-0.5 * d2) + 1e-2 * np.eye(N)
+        L = np.linalg.cholesky(K)
+        a = np.linalg.solve(K, Y)
+        return 0.5 * float((Y * a).sum()) + np.log(np.diag(L)).sum() + 0.5 * N * np.log(2 * np.pi)
+
+    # warmup
+    nll(variances[0], lengthscales[0])
+    t0 = time.perf_counter()
+    evals = 0
+    while time.perf_counter() - t0 < 2.0:
+        nll(variances[evals % BATCH], lengthscales[evals % BATCH])
+        evals += 1
+    dt = time.perf_counter() - t0
+    forward_rate = evals / dt
+    return forward_rate / 3.0  # value+grad ≈ 3x forward
+
+
+def main():
+    use_cpu = "--cpu" in sys.argv
+    if use_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    value = bench_tpu()
+    baseline = bench_numpy_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "gpr_nll_grad_evals_per_s_per_chip",
+                "value": round(value, 2),
+                "unit": "evals/s/chip",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Sparse variational GP (SVGP) with whitened inducing variables.
+
+Replaces gpflow.models.SVGP as used by the reference's sparse experiments
+(test_scripts/SVGP.py:459-533: M ∈ {20, 120} linspace inducing points,
+Gaussian likelihood frozen at 1e-4, `training_loss_closure` ELBO minimized
+with L-BFGS maxiter=100). Whitened parameterization:
+
+    u = Luu v,  q(v) = N(q_mu, q_sqrt q_sqrtᵀ),  Kuu = k(Z,Z) + jitter·I
+    f(x) | v  has mean A(x)ᵀ q_mu, cov K(x,x) − AᵀA + Aᵀ S A,  A = Luu⁻¹ K(Z,x)
+    ELBO = (N/B) Σ_batch E_q[log p(y|f)] − KL(q(v) ‖ N(0, I))
+
+The minibatch scale factor (num_data / batch) makes the ELBO an unbiased
+full-dataset estimate — this is the quantity sharded across the mesh `data`
+axis with psum reduction (BASELINE.json north star; parallel/elbo_sharded.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from portfoliooptgp_tpu.kernels.base import Kernel, pytree_dataclass
+from portfoliooptgp_tpu.kernels.means import MeanFunction, Zero
+from portfoliooptgp_tpu.models.likelihoods import Gaussian, Likelihood
+from portfoliooptgp_tpu.ops import linalg
+
+INDUCING_JITTER = 1e-6  # GPflow default_jitter applied to Kuu
+
+
+@pytree_dataclass(meta=("num_latent",))
+class SVGP:
+    kernel: Kernel
+    likelihood: Likelihood
+    mean_function: MeanFunction
+    Z: jnp.ndarray  # (M, D) inducing inputs
+    q_mu: jnp.ndarray  # (M, P)
+    q_sqrt: jnp.ndarray  # (P, M, M), lower-triangular factor of q(v) cov
+    num_latent: int = 1
+
+    @classmethod
+    def create(cls, kernel, inducing_points, likelihood=None, mean_function=None, num_latent=1):
+        Z = jnp.asarray(inducing_points, dtype=jnp.result_type(float))
+        m = Z.shape[0]
+        return cls(
+            kernel=kernel,
+            likelihood=likelihood if likelihood is not None else Gaussian.create(1.0),
+            mean_function=mean_function if mean_function is not None else Zero(),
+            Z=Z,
+            q_mu=jnp.zeros((m, num_latent)),
+            q_sqrt=jnp.broadcast_to(jnp.eye(m), (num_latent, m, m)).copy(),
+            num_latent=num_latent,
+        )
+
+    @property
+    def num_inducing(self):
+        return self.Z.shape[0]
+
+
+def _tril(q_sqrt):
+    return jnp.tril(q_sqrt)
+
+
+def prior_kl(model: SVGP):
+    """KL(q(v) ‖ N(0,I)) for whitened v, summed over latent dims:
+    ½ Σ_p [ tr(S_p) + ‖m_p‖² − M − log|S_p| ]."""
+    L = _tril(model.q_sqrt)  # (P, M, M)
+    m = model.q_mu  # (M, P)
+    M = model.num_inducing
+    trace = jnp.sum(L * L)
+    quad = jnp.sum(m * m)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))))
+    P = model.q_sqrt.shape[0]
+    return 0.5 * (trace + quad - M * P - logdet)
+
+
+def predict_f(model: SVGP, Xnew, full_cov: bool = False):
+    """q(f(Xnew)) marginal mean/var under the whitened posterior."""
+    Kuu = linalg.add_diag(model.kernel.K(model.Z), INDUCING_JITTER)
+    Luu = linalg.cholesky(Kuu)
+    Kuf = model.kernel.K(model.Z, Xnew)  # (M, N)
+    A = linalg.solve_lower(Luu, Kuf)  # (M, N)
+    mean = A.T @ model.q_mu + model.mean_function(Xnew)
+    LS = _tril(model.q_sqrt)  # (P, M, M)
+    SA = jnp.einsum("pmk,kn->pmn", jnp.swapaxes(LS, -1, -2), A)  # Lᵀ A per latent
+    if full_cov:
+        Kff = model.kernel.K(Xnew)
+        cov = Kff[None] - (A.T @ A)[None] + jnp.einsum("pmn,pmo->pno", SA, SA)
+        return mean, cov
+    Kdiag = model.kernel.Kdiag(Xnew)
+    var = Kdiag[None, :] - jnp.sum(A * A, axis=0)[None, :] + jnp.sum(SA * SA, axis=1)
+    var = jnp.maximum(var, 0.0)  # (P, N)
+    return mean, var.T  # (N, P)
+
+
+def predict_y(model: SVGP, Xnew):
+    mean, var = predict_f(model, Xnew)
+    return model.likelihood.predict_mean_and_var(mean, var)
+
+
+def elbo(model: SVGP, X, Y, num_data: Optional[int] = None):
+    """Minibatch evidence lower bound (training_loss_closure parity,
+    test_scripts/SVGP.py:530). `num_data` rescales the likelihood term when
+    (X, Y) is a minibatch."""
+    mean, var = predict_f(model, X)
+    ve = model.likelihood.variational_expectations(mean, var, Y)
+    scale = 1.0 if num_data is None else num_data / X.shape[0]
+    return jnp.sum(ve) * scale - prior_kl(model)
+
+
+def neg_elbo(model: SVGP, X, Y, num_data: Optional[int] = None):
+    return -elbo(model, X, Y, num_data)
