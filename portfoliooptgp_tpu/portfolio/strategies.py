@@ -1,0 +1,114 @@
+"""Allocation strategies (Strategies/ + strategies/ parity, unified into one
+canonical lowercase module — the reference's split-casing directories only
+import on case-insensitive filesystems, SURVEY.md §7.5).
+
+Five strategies (Portfolio/portfolio.py:41-47):
+- constant: uniform weights every day (Strategies/constant_baseline_strategy.py:24)
+- sharpe: maximize Sharpe ratio (strategies/sharpe_strategy.py:12-28)
+- max_return: maximize return under a volatility cap (max_return_strategy.py:9-25)
+- min_volatility: minimize volatility under a return floor (min_volatility_strategy.py:9-25)
+- dynamic: expected-return regime switch with transaction-cost-aware revert
+  (Strategies/dynamic_strategy.py:95-133)
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+from portfoliooptgp_tpu.portfolio.montecarlo import probability_a_greater_than_b_mvnorm
+from portfoliooptgp_tpu.portfolio.optimizer import PortfolioOptimizer
+
+
+class Strategy(ABC):
+    """Base strategy (strategies/strategy.py:4-49)."""
+
+    def __init__(self, broker_fee: float = 0.0, apply_broker_fee: bool = False):
+        self.broker_fee = broker_fee
+        self.apply_broker_fee_flag = apply_broker_fee
+
+    def apply_broker_fee(self, weights):
+        if self.apply_broker_fee_flag and self.broker_fee > 0:
+            return weights * (1.0 - self.broker_fee)
+        return weights
+
+    @abstractmethod
+    def optimize(self, optimizer: PortfolioOptimizer, max_volatility, min_return, **kw):
+        ...
+
+
+class ConstantStrategy(Strategy):
+    def optimize(self, optimizer, max_volatility, min_return, **kw):
+        n = optimizer.n_assets
+        return np.full(n, 1.0 / n)
+
+
+class SharpeRatioStrategy(Strategy):
+    def optimize(self, optimizer, max_volatility, min_return, **kw):
+        return optimizer.optimize_portfolio()
+
+
+class MaxReturnStrategy(Strategy):
+    def optimize(self, optimizer, max_volatility, min_return, **kw):
+        return optimizer.maximize_returns(max_volatility=max_volatility)
+
+
+class MinVolatilityStrategy(Strategy):
+    def optimize(self, optimizer, max_volatility, min_return, **kw):
+        return optimizer.minimize_uncertainty(min_return=min_return)
+
+
+class DynamicStrategy(Strategy):
+    """Regime switch on the expected return under the previous weights
+    (Strategies/dynamic_strategy.py:95-133):
+
+    - day 0: maximize returns under the volatility cap;
+    - if E[r_prev·w_prev] < E[r_pred·w_prev] (improving): minimize
+      uncertainty with floor E_B − E_A, then revert to the previous weights
+      if transaction costs eat the gain;
+    - else: maximize returns under the volatility cap.
+    """
+
+    def probability_a_greater_than_b_mvnorm(self, mu_a, cov_a, mu_b, cov_b, num_samples=10_000, seed=0):
+        return probability_a_greater_than_b_mvnorm(mu_a, cov_a, mu_b, cov_b, num_samples, seed)
+
+    def optimize(
+        self,
+        optimizer,
+        max_volatility,
+        min_return,
+        mu_A=None,
+        cov_A=None,
+        mu_B=None,
+        cov_B=None,
+        previous_weights=None,
+        broker_fee: float = 0.001,
+        **kw,
+    ):
+        if mu_A is None:
+            return optimizer.maximize_returns(max_volatility)
+
+        mu_A = np.asarray(mu_A, dtype=float)
+        mu_B = np.asarray(mu_B, dtype=float)
+        prev = np.asarray(previous_weights, dtype=float)
+        expected_A = float(mu_A @ prev)
+        expected_B = float(mu_B @ prev)
+
+        if expected_A < expected_B:
+            w = optimizer.minimize_uncertainty(expected_B - expected_A)
+            tx = float(np.sum(broker_fee * np.abs(w - prev)))
+            if expected_B - expected_A - tx > 0:
+                return w
+            optimizer.set_previous_weights(prev)
+            return prev
+        return optimizer.maximize_returns(max_volatility)
+
+
+STRATEGY_REGISTRY = {
+    "constant": ConstantStrategy,
+    "sharpe": SharpeRatioStrategy,
+    "max_return": MaxReturnStrategy,
+    "min_volatility": MinVolatilityStrategy,
+    "dynamic": DynamicStrategy,
+}
