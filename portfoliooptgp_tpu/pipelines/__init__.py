@@ -1,0 +1,6 @@
+"""Application pipelines: single-asset multi-timescale GPR and multi-input
+portfolio workflows."""
+
+from portfoliooptgp_tpu.pipelines import blend as blend
+from portfoliooptgp_tpu.pipelines.multi_input import MultiInputGPR
+from portfoliooptgp_tpu.pipelines.single_asset import StockPredictor

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests over synthetic CSV trees (hermetic)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from portfoliooptgp_tpu import kernels as km
+from portfoliooptgp_tpu.models import arima
+from portfoliooptgp_tpu.pipelines import MultiInputGPR, StockPredictor, blend
+
+
+def write_eod(dirpath, name, dates, close):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(
+        {
+            "date": pd.to_datetime(dates).strftime("%Y-%m-%d"),
+            "open": close * 0.998,
+            "high": close * 1.01,
+            "low": close * 0.99,
+            "close": close,
+            "adjusted_close": close,
+            "volume": 1_000_000,
+        }
+    ).to_csv(dirpath / name, index=False)
+
+
+@pytest.fixture
+def market(tmp_path, rng):
+    """Synthetic market: a target stock, two correlated covariates and one
+    uncorrelated, in Stocks/ + Commodities/ trees; plus weekly/monthly files."""
+    days = pd.bdate_range("2024-02-01", "2024-05-31")
+    driver = np.cumsum(0.01 * rng.normal(size=len(days)))
+    mk = lambda beta, noise: 100 * np.exp(beta * driver + noise * rng.normal(size=len(days)).cumsum() * 0.001)
+
+    target = mk(1.0, 1.0)
+    write_eod(tmp_path / "Stocks" / "TGT", "TGT_us_d.csv", days, target)
+    write_eod(tmp_path / "Stocks" / "COR", "COR_us_d.csv", days, mk(0.95, 0.5))
+    write_eod(tmp_path / "Commodities" / "Brent_Oil", "Brent_Oil_us_d.csv", days, mk(0.9, 0.5))
+    # uncorrelated noise asset
+    write_eod(tmp_path / "Stocks" / "RND", "RND_us_d.csv", days,
+              100 * np.exp(np.cumsum(0.01 * rng.normal(size=len(days)))))
+
+    # weekly / monthly resamples for the multi-timescale pipeline
+    df = pd.DataFrame({"date": days, "close": target}).set_index("date")
+    wk = df.resample("W").last().dropna()
+    mo = df.resample("ME").last().dropna()
+    write_eod(tmp_path / "Stocks" / "TGT", "TGT_us_w.csv", wk.index, wk["close"].to_numpy())
+    write_eod(tmp_path / "Stocks" / "TGT", "TGT_us_m.csv", mo.index, mo["close"].to_numpy())
+    return str(tmp_path)
+
+
+DATES = dict(
+    train_start_date="2024-02-01",
+    train_end_date="2024-05-10",
+    test_start_date="2024-05-13",
+    test_end_date="2024-05-17",
+)
+
+
+def test_blend_upsample_and_weights(rng):
+    xd = np.arange(20.0)[:, None]
+    xw = np.arange(0.0, 20.0, 5.0)[:, None]
+    vw = (xw * 2.0).reshape(-1, 1)
+    up = blend.upsample_predictions(xd, xw, vw, period="w")
+    np.testing.assert_allclose(np.asarray(up[:16, 0]), 2.0 * xd[:16, 0], atol=1e-12)
+
+    # blend-weight fit: daily predictor is exact => alpha ~ 1
+    y = rng.normal(size=20)
+    w = blend.optimize_blend_weights(y, y, rng.normal(size=20), rng.normal(size=20), lambda_=0.0)
+    assert w.alpha > 0.9
+    assert 0 <= w.alpha <= 1 and 0 <= w.beta <= 1 and w.alpha + w.beta <= 1 + 1e-9
+
+
+def test_single_asset_pipeline(market):
+    sp = StockPredictor(
+        ["TGT"], data_root=market,
+        kernel_menu=[km.SquaredExponential.create(), km.Matern12.create()],
+        horizon_days=30, **DATES,
+    )
+    res = sp.run_ticker("TGT")
+    n_daily = res.timeframes["d"].X.shape[0]
+    assert res.X_combined_daily.shape[0] == n_daily + 30
+    assert res.f_mean.shape == res.f_var.shape == (n_daily + 30, 1)
+    lo, hi = res.confidence_bands("f")
+    assert np.all(np.asarray(hi) >= np.asarray(lo))
+    assert 0 <= res.alpha <= 1 and res.alpha + res.beta <= 1 + 1e-9
+    # in-sample blended mean should track the (normalized) daily returns
+    mse = float(np.mean((np.asarray(res.f_mean[:n_daily]) - np.asarray(res.timeframes["d"].Y)) ** 2))
+    assert mse < 1.0  # well below the variance of z-scored targets
+
+
+def make_mi(market, **kw):
+    args = dict(
+        ticker="TGT", features=["COR", "Brent_Oil", "RND"], data_root=market,
+        threshold=0.30, removal_percentage=0.2, maxiter=200, **DATES,
+    )
+    args.update(kw)
+    return MultiInputGPR(**args)
+
+
+def test_multi_input_correlation_gating(market):
+    # step 1 gates on close-vs-close correlations when predict_Y='close'.
+    # Price-level random walks correlate spuriously (RND hits |ρ|≈0.65), so
+    # probe the gate with a threshold that separates the driver-linked
+    # covariates (ρ≈0.999) from the spurious one.
+    mi = make_mi(market, predict_Y="close", threshold=0.99)
+    out = mi.run_step_1()
+    assert "COR" in out["kept_features"]
+    assert "Brent_Oil" in out["kept_features"]
+    assert "RND" not in out["kept_features"]
+    assert out["X"].shape[1] == len(out["kept_features"]) + 1  # +time column
+    assert out["mse"] < 1.0
+
+
+def test_multi_input_step_2_removal(market):
+    mi = make_mi(market)
+    out = mi.run_step_2()
+    assert np.isfinite(out["mse_all"]) and np.isfinite(out["mse_removed"])
+    assert len(out["Y_removed"]) > 0
+
+
+def test_multi_input_step_3_horizon(market):
+    mi = make_mi(market)
+    pred = mi.run_step_3()
+    assert pred.f_mean.shape == (5, 1) and pred.f_var.shape == (5, 1)
+    assert np.all(pred.f_var >= 0)
+
+
+def test_multi_input_step_4_walk_forward(market):
+    mi = make_mi(market, isFixedLikelihood=True)
+    pred = mi.run_step_4()
+    assert len(pred.f_mean) == len(pred.actual) == 5  # 5 test business days
+    assert np.all(np.isfinite(pred.f_mean)) and np.all(pred.f_var >= 0)
+
+
+def test_arima_fit_forecast():
+    rng = np.random.default_rng(0)
+    # AR(1)-in-differences series with known coefficient
+    n = 400
+    dz = np.zeros(n)
+    for t in range(1, n):
+        dz[t] = 0.6 * dz[t - 1] + 0.1 * rng.normal()
+    y = 100 + np.cumsum(dz)
+    res = arima.fit_arima(y, order=(1, 1, 0))
+    np.testing.assert_allclose(res.ar_coefs[0], 0.6, atol=0.1)
+    fc = arima.forecast(y, res, steps=5)
+    assert fc.shape == (5,)
+    assert np.all(np.isfinite(fc))
+
+
+def test_arima_pipeline(market):
+    mi = make_mi(market)
+    out = mi.run_arima()
+    assert out["forecast"].shape == (5,)
+    assert np.isfinite(out["mse"])
