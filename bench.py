@@ -57,26 +57,37 @@ def bench_tpu():
     ]
     stacked = lbfgs.stack_pytrees(models)
 
-    vg = jax.jit(
-        jax.vmap(jax.value_and_grad(lambda m: gpr.neg_log_marginal_likelihood(m, Xj, Yj)))
-    )
+    vg = jax.vmap(jax.value_and_grad(lambda m: gpr.neg_log_marginal_likelihood(m, Xj, Yj)))
 
-    # warmup/compile
-    v, g = vg(stacked)
-    jax.block_until_ready((v, g))
-    assert bool(jnp.all(jnp.isfinite(v))), "non-finite NLL in benchmark"
+    STEPS = 50  # dependent chain of value+grad evals inside one executable,
+    # like the L-BFGS inner loop — measures device throughput, not RPC latency
 
-    # timed
-    iters = 0
+    @jax.jit
+    def chain(stacked):
+        def body(carry, _):
+            params = carry
+            v, g = vg(params)
+            # couple successive evals (tiny SGD step) so XLA cannot reorder
+            # or elide iterations; keeps the workload identical per step
+            params = jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g)
+            return params, v
+        _, vs = jax.lax.scan(body, stacked, None, length=STEPS)
+        return vs
+
+    vs = chain(stacked)
+    jax.block_until_ready(vs)
+    assert bool(jnp.all(jnp.isfinite(vs[0]))), "non-finite NLL in benchmark"
+
+    reps = 0
     t0 = time.perf_counter()
     while True:
-        v, g = vg(stacked)
-        jax.block_until_ready(v)
-        iters += 1
+        vs = chain(stacked)
+        jax.block_until_ready(vs)
+        reps += 1
         dt = time.perf_counter() - t0
-        if dt > 3.0 and iters >= 5 or dt > MAXN_TIMING_S:
+        if dt > 3.0 and reps >= 3 or dt > MAXN_TIMING_S:
             break
-    return BATCH * iters / dt
+    return BATCH * STEPS * reps / dt
 
 
 def bench_numpy_baseline():
