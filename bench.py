@@ -57,7 +57,11 @@ def bench_tpu():
     ]
     stacked = lbfgs.stack_pytrees(models)
 
-    vg = jax.vmap(jax.value_and_grad(lambda m: gpr.neg_log_marginal_likelihood(m, Xj, Yj)))
+    def vg(params):
+        # fused Pallas factor+solve+logdet path with its custom VJP
+        return jax.value_and_grad(
+            lambda m: jnp.sum(gpr.batched_neg_log_marginal_likelihood(m, Xj, Yj)),
+        )(params)
 
     STEPS = 50  # dependent chain of value+grad evals inside one executable,
     # like the L-BFGS inner loop — measures device throughput, not RPC latency

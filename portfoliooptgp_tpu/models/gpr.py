@@ -108,3 +108,29 @@ def predict_y(model: GPR, X, Y, Xnew, cache: Optional[GPRPosterior] = None):
     """predict_f + likelihood variance (GPR/predictor.py:7)."""
     mean, var = predict_f(model, X, Y, Xnew, full_cov=False, cache=cache)
     return model.likelihood.predict_mean_and_var(mean, var)
+
+
+def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
+    """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
+    primitive. With `fast=True` (float32 inputs, N ≤ the Pallas VMEM bound)
+    the whole batch goes through the fused Pallas factor+solve+logdet kernel
+    (ops/pallas/nll.py) with its custom VJP; otherwise falls back to the
+    vmapped XLA path. Returns (B,) losses."""
+    import jax
+
+    from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+
+    n = X.shape[0]
+    use_fast = (
+        fast
+        and X.dtype == jnp.float32
+        and Y.shape[1] == 1
+        and nll_mod.pallas_nll_supported(n)
+    )
+    if not use_fast:
+        return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
+
+    Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
+    noise = jax.vmap(lambda m: m.likelihood.variance)(stacked_model)
+    err = Y[None, :, 0] - jax.vmap(lambda m: m.mean_function(X))(stacked_model)[:, :, 0]
+    return nll_mod.batched_nll(Kb, err, noise)
