@@ -2,6 +2,8 @@
 
 from portfoliooptgp_tpu.train import lbfgs as lbfgs
 from portfoliooptgp_tpu.train.lbfgs import FitResult, fit, fit_batched, freeze_leaves
+from portfoliooptgp_tpu.train import batched_lbfgs as batched_lbfgs
+from portfoliooptgp_tpu.train.batched_lbfgs import fit_batched_fused
 from portfoliooptgp_tpu.train.trainer import (
     MenuResult,
     TrainedModel,
@@ -9,4 +11,5 @@ from portfoliooptgp_tpu.train.trainer import (
     train_likelihood,
     train_model,
     train_restarts,
+    train_restarts_fused,
 )
