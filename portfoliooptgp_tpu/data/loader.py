@@ -16,9 +16,34 @@ from typing import Optional
 import pandas as pd
 
 
-def read_eod_csv(path: str, start_date: Optional[str] = None, end_date: Optional[str] = None) -> pd.DataFrame:
-    df = pd.read_csv(path)
-    df["date"] = pd.to_datetime(df["date"])
+def read_eod_csv(
+    path: str,
+    start_date: Optional[str] = None,
+    end_date: Optional[str] = None,
+    use_native: Optional[bool] = None,
+) -> pd.DataFrame:
+    """Read an EOD-schema CSV. By default the threaded C++ parser
+    (portfoliooptgp_tpu/native) is used when built; pandas otherwise."""
+    from portfoliooptgp_tpu import native
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        cols = native.load_eod(path)
+        df = pd.DataFrame(
+            {
+                "date": pd.to_datetime(cols["dates"], unit="D"),
+                "open": cols["open"],
+                "high": cols["high"],
+                "low": cols["low"],
+                "close": cols["close"],
+                "adjusted_close": cols["adjusted_close"],
+                "volume": cols["volume"],
+            }
+        )
+    else:
+        df = pd.read_csv(path)
+        df["date"] = pd.to_datetime(df["date"])
     if start_date is not None:
         df = df[df["date"] >= start_date]
     if end_date is not None:
