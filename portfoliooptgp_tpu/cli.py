@@ -8,6 +8,7 @@ Commands:
   portfolio      full flagship workflow: walk-forward GP -> 5 strategies ->
                  backtest comparison
   svgp           sparse variational GP training on one series
+  frontier       multi-output GP posterior -> efficient frontier (config 5)
   nuts           fully-Bayesian hyperparameter sampling
   print-config   dump the default RunConfig JSON schema
 """
@@ -227,6 +228,32 @@ def cmd_svgp(args):
     print(f"final neg-ELBO {float(loss):.4f}")
 
 
+def cmd_frontier(args):
+    import numpy as np
+
+    from portfoliooptgp_tpu.data.handler import DataHandler
+    from portfoliooptgp_tpu.pipelines.frontier_pipeline import run_frontier_pipeline
+    from portfoliooptgp_tpu.portfolio.frontier import plot_frontier
+
+    cfg = _load_config(args)
+    dh = DataHandler(cfg.data.train_start_date, cfg.data.train_end_date,
+                     cfg.data.test_start_date, cfg.data.test_end_date,
+                     data_root=cfg.data.data_root)
+    res = run_frontier_pipeline(
+        args.assets, dh, predict_y=cfg.data.predict_y, rank=args.rank,
+        use_nuts=args.nuts, risk_free_rate=cfg.portfolio.risk_free_rate,
+        maxiter=cfg.train.maxiter * 3,
+    )
+    print("posterior mu:", np.round(res.mu, 5))
+    print("posterior vol:", np.round(np.sqrt(np.diag(res.Sigma)), 5))
+    print("tangency weights:", dict(zip(res.assets, np.round(res.frontier.tangency_weights, 4))))
+    print(f"tangency return={res.frontier.tangency_return:.5f} "
+          f"vol={res.frontier.tangency_volatility:.5f}")
+    if args.plots:
+        plot_frontier(res.frontier, cfg.portfolio.risk_free_rate,
+                      filename=f"{args.plots}/efficient_frontier.png")
+
+
 def cmd_nuts(args):
     import jax
     import numpy as np
@@ -299,6 +326,13 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--mesh", action="store_true", help="shard over all devices")
     p.set_defaults(fn=cmd_svgp)
+
+    p = sub.add_parser("frontier", help="multi-output GP posterior -> efficient frontier")
+    _add_common(p)
+    p.add_argument("--assets", nargs="+", default=["JPM", "MSFT", "COST", "HLT", "JNJ"])
+    p.add_argument("--rank", type=int, default=2)
+    p.add_argument("--nuts", action="store_true", help="Bayesian-average moments over NUTS draws")
+    p.set_defaults(fn=cmd_frontier)
 
     p = sub.add_parser("nuts", help="Bayesian hyperparameter sampling")
     _add_common(p)

@@ -1,0 +1,137 @@
+"""Multi-output GP regression — intrinsic coregionalization model (ICM) with
+Kronecker-structured exact inference.
+
+BASELINE.json config 5 asks for a "20-asset multi-output GP posterior →
+efficient-frontier weight optimization"; the reference approximates this with
+five *independent* per-asset GPRs glued together by an empirical correlation
+matrix (Multi-Input_GPR/main.py:535-565, Portfolio/portfolio.py:137). Here
+the cross-asset structure is part of the model:
+
+    cov(Y[n, i], Y[m, j]) = B[i, j] · k(x_n, x_m),   B = W Wᵀ + diag(κ)
+
+With all assets observed on the same grid, the Gram matrix is the Kronecker
+product B ⊗ Kx, and the NLL/posterior collapse to two small symmetric
+eigendecompositions — O(N³ + P³) instead of O((NP)³):
+
+    Kx = Qx Λx Qxᵀ,  B = Qb Λb Qbᵀ,  W = Λb ⊗ Λx + σ²
+    Ỹ = Qxᵀ Y Qb
+    NLL = ½ Σ Ỹ²/W + ½ Σ log W + NP/2 log 2π
+
+Eigendecompositions are batched-friendly on TPU and everything is
+differentiable, so hyperparameters (kernel + B + σ²) train by L-BFGS and can
+be sampled with NUTS like any other model pytree.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from portfoliooptgp_tpu.kernels.base import Kernel, pytree_dataclass
+from portfoliooptgp_tpu.models.likelihoods import Gaussian
+from portfoliooptgp_tpu.params import as_param, positive, positive_inv
+
+EIG_JITTER = 1e-10
+
+
+@pytree_dataclass(meta=("num_outputs", "rank"))
+class ICMGPR:
+    kernel: Kernel
+    likelihood: Gaussian
+    W: jnp.ndarray  # (P, rank) coregionalization factors
+    raw_kappa: jnp.ndarray  # (P,) per-output diagonal of B
+
+    num_outputs: int = 2
+    rank: int = 1
+
+    @classmethod
+    def create(cls, kernel, num_outputs, rank=1, noise_variance=1.0, w_scale=0.1, seed=0):
+        key = jax.random.PRNGKey(seed)
+        W = w_scale * jax.random.normal(
+            key, (num_outputs, rank), dtype=jnp.result_type(float)
+        )
+        return cls(
+            kernel=kernel,
+            likelihood=Gaussian.create(noise_variance),
+            W=W,
+            raw_kappa=positive_inv(jnp.ones((num_outputs,)) * as_param(1.0)),
+            num_outputs=int(num_outputs),
+            rank=int(rank),
+        )
+
+    @property
+    def B(self):
+        return self.W @ self.W.T + jnp.diag(positive(self.raw_kappa))
+
+
+class ICMDecomposition(NamedTuple):
+    Qx: jnp.ndarray
+    lam_x: jnp.ndarray
+    Qb: jnp.ndarray
+    lam_b: jnp.ndarray
+    Ytil: jnp.ndarray  # Qxᵀ Y Qb
+    weights: jnp.ndarray  # (N, P): λx λb + σ²
+
+
+def decompose(model: ICMGPR, X, Y) -> ICMDecomposition:
+    Kx = model.kernel.K(X)
+    lam_x, Qx = jnp.linalg.eigh(Kx + EIG_JITTER * jnp.eye(Kx.shape[0], dtype=Kx.dtype))
+    lam_b, Qb = jnp.linalg.eigh(model.B)
+    Ytil = Qx.T @ Y @ Qb
+    weights = lam_x[:, None] * lam_b[None, :] + model.likelihood.variance
+    return ICMDecomposition(Qx, lam_x, Qb, lam_b, Ytil, weights)
+
+
+def neg_log_marginal_likelihood(model: ICMGPR, X, Y):
+    dec = decompose(model, X, Y)
+    n, p = Y.shape
+    quad = jnp.sum(dec.Ytil**2 / dec.weights)
+    logdet = jnp.sum(jnp.log(dec.weights))
+    return 0.5 * quad + 0.5 * logdet + 0.5 * n * p * jnp.log(2.0 * jnp.pi)
+
+
+def predict_f(model: ICMGPR, X, Y, Xnew):
+    """Posterior mean (M, P) and per-output marginal variance (M, P) of the
+    latent multi-output process at Xnew."""
+    dec = decompose(model, X, Y)
+    B = model.B
+    Ks = model.kernel.K(X, Xnew)  # (N, M)
+    # mean: K*ₓ Ā B with vec-solve Ā = Qx (Ỹ/W) Qbᵀ
+    Abar = dec.Qx @ (dec.Ytil / dec.weights) @ dec.Qb.T  # (N, P)
+    mean = Ks.T @ Abar @ B
+
+    # marginal variance of output j at x*:
+    #   B_jj k(x*,x*) − Σ_{n,i} (u_{ij} v_{n*})² / W_{n,i}
+    # with u = Qbᵀ B[:, j], v = Qxᵀ k*
+    V = dec.Qx.T @ Ks  # (N, M)
+    U = dec.Qb.T @ B  # (P_eig, P_out)
+    quad = jnp.einsum("nm,ni,ij->mj", V**2, 1.0 / dec.weights, U**2)
+    kdiag = model.kernel.Kdiag(Xnew)  # (M,)
+    var = jnp.diag(B)[None, :] * kdiag[:, None] - quad
+    return mean, jnp.maximum(var, 0.0)
+
+
+def predict_y(model: ICMGPR, X, Y, Xnew):
+    mean, var = predict_f(model, X, Y, Xnew)
+    return model.likelihood.predict_mean_and_var(mean, var)
+
+
+def posterior_asset_moments(model: ICMGPR, X, Y, Xnew):
+    """(mu, Sigma) of the posterior predictive across outputs at the LAST row
+    of Xnew — the inputs to mean-variance optimization (mu (P,), Sigma (P,P)
+    including cross-asset covariance, which the reference approximates with
+    outer(σ,σ)·corr at Portfolio/portfolio.py:137)."""
+    dec = decompose(model, X, Y)
+    B = model.B
+    kstar = model.kernel.K(X, Xnew[-1:])  # (N, 1)
+    Abar = dec.Qx @ (dec.Ytil / dec.weights) @ dec.Qb.T
+    mu = (kstar.T @ Abar @ B)[0]  # (P,)
+    v = dec.Qx.T @ kstar  # (N, 1)
+    U = dec.Qb.T @ B  # (P, P)
+    # cov[j, k] = B_jk k** − Σ_{n,i} v_n² u_{ij} u_{ik} / W_{n,i}
+    s = jnp.einsum("ni,ij,ik->jk", (v**2) / dec.weights, U, U)
+    kss = model.kernel.Kdiag(Xnew[-1:])[0]
+    Sigma = B * kss - s + model.likelihood.variance * jnp.eye(B.shape[0], dtype=B.dtype)
+    return mu, Sigma
