@@ -26,7 +26,13 @@ from portfoliooptgp_tpu.kernels.means import MeanFunction, Zero
 from portfoliooptgp_tpu.models.likelihoods import Gaussian, Likelihood
 from portfoliooptgp_tpu.ops import linalg
 
-INDUCING_JITTER = 1e-6  # GPflow default_jitter applied to Kuu
+INDUCING_JITTER = 1e-6  # GPflow default_jitter applied to Kuu (float64)
+
+
+def inducing_jitter(dtype):
+    """float32 needs a larger jitter for Kuu factorization stability at
+    GPflow-like inducing-point densities."""
+    return 1e-4 if dtype == jnp.float32 else INDUCING_JITTER
 
 
 @pytree_dataclass(meta=("num_latent",))
@@ -77,7 +83,7 @@ def prior_kl(model: SVGP):
 
 def predict_f(model: SVGP, Xnew, full_cov: bool = False):
     """q(f(Xnew)) marginal mean/var under the whitened posterior."""
-    Kuu = linalg.add_diag(model.kernel.K(model.Z), INDUCING_JITTER)
+    Kuu = linalg.add_diag(model.kernel.K(model.Z), inducing_jitter(model.Z.dtype))
     Luu = linalg.cholesky(Kuu)
     Kuf = model.kernel.K(model.Z, Xnew)  # (M, N)
     A = linalg.solve_lower(Luu, Kuf)  # (M, N)
