@@ -46,8 +46,10 @@ def _common(model: SGPR, X, Y):
     sigma2 = model.likelihood.variance
     sigma = jnp.sqrt(sigma2)
     err = Y - model.mean_function(X)
-    Kuu = linalg.add_diag(model.kernel.K(model.Z), INDUCING_JITTER)
-    Luu = linalg.cholesky(Kuu)
+    from portfoliooptgp_tpu.models.svgp import inducing_jitter
+
+    Kuu = linalg.add_diag(model.kernel.K(model.Z), inducing_jitter(model.Z.dtype))
+    Luu, _ = linalg.safe_cholesky(Kuu)
     Kuf = model.kernel.K(model.Z, X)
     A = linalg.solve_lower(Luu, Kuf) / sigma  # (M, N)
     B = linalg.add_diag(A @ A.T, 1.0)

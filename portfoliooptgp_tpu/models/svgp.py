@@ -82,9 +82,11 @@ def prior_kl(model: SVGP):
 
 
 def predict_f(model: SVGP, Xnew, full_cov: bool = False):
-    """q(f(Xnew)) marginal mean/var under the whitened posterior."""
+    """q(f(Xnew)) marginal mean/var under the whitened posterior. Kuu is
+    factored with the deterministic jitter-escalation ladder so float32 runs
+    at reference-scale inducing densities (cond(Kuu) ~ 1e6+) stay finite."""
     Kuu = linalg.add_diag(model.kernel.K(model.Z), inducing_jitter(model.Z.dtype))
-    Luu = linalg.cholesky(Kuu)
+    Luu, _ = linalg.safe_cholesky(Kuu)
     Kuf = model.kernel.K(model.Z, Xnew)  # (M, N)
     A = linalg.solve_lower(Luu, Kuf)  # (M, N)
     mean = A.T @ model.q_mu + model.mean_function(Xnew)

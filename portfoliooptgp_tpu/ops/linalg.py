@@ -23,27 +23,30 @@ def add_diag(K, value):
 
 
 def cholesky(K, jitter=0.0):
-    return jnp.linalg.cholesky(add_diag(K, jitter) if jitter else K)
+    if isinstance(jitter, (int, float)) and jitter == 0.0:
+        return jnp.linalg.cholesky(K)
+    return jnp.linalg.cholesky(add_diag(K, jitter))
 
 
 def safe_cholesky(K, ladder=JITTER_LADDER):
     """Cholesky with deterministic jitter escalation.
 
-    Tries each jitter in `ladder` (branchless — all factorizations are computed
-    lazily via lax.cond chain) and returns (L, ok). `ok` is False if even the
-    largest jitter fails; callers turn that into an +inf loss / masked restart.
-    """
-
-    def attempt(jit_val):
-        L = cholesky(K, jit_val)
-        ok = jnp.all(jnp.isfinite(L))
-        return L, ok
-
-    L, ok = attempt(ladder[0])
-    for j in ladder[1:]:
-        # lax.cond avoids factorizing again once a level succeeded
-        L, ok = jax.lax.cond(ok, lambda: (L, ok), lambda jv=j: attempt(jv))
-    return L, ok
+    The needed jitter level is *probed* on a stop-gradient copy of K (failed
+    probe factorizations never enter the autodiff graph — a cholesky VJP at a
+    NaN primal yields NaN even against a zero cotangent), then ONE
+    differentiable factorization runs at the chosen level. Returns (L, ok);
+    `ok` is False if even the largest jitter fails, and callers turn that
+    into an +inf loss / masked restart instead of a crash (the reference
+    dies with an unhandled InvalidArgumentError here)."""
+    Kp = jax.lax.stop_gradient(K)
+    oks = jnp.stack(
+        [jnp.all(jnp.isfinite(cholesky(Kp, j))) for j in ladder]
+    )
+    # first succeeding level (argmax of ok); if none succeed use the last
+    idx = jnp.argmax(oks)
+    chosen = jnp.asarray(list(ladder), dtype=K.dtype)[idx]
+    L = cholesky(K, chosen)
+    return L, jnp.any(oks)
 
 
 def solve_lower(L, B):
