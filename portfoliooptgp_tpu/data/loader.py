@@ -68,6 +68,28 @@ def convert_investing_csv(path: str) -> pd.DataFrame:
     return out.sort_values("date").reset_index(drop=True)
 
 
+def read_intraday_csv(paths) -> pd.DataFrame:
+    """Read 1-minute bar files (`DateTime,Open,High,Low,Close,Type,Volume`,
+    the test_data/Crypto/*_1min_UTC schema) — one file per day, concatenated
+    in time order."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    frames = []
+    for path in paths:
+        df = pd.read_csv(path)
+        df = df.rename(
+            columns={
+                "DateTime": "datetime", "Open": "open", "High": "high",
+                "Low": "low", "Close": "close", "Type": "type",
+                "Volume": "volume",
+            }
+        )
+        df["datetime"] = pd.to_datetime(df["datetime"])
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True).sort_values("datetime")
+    return out.reset_index(drop=True)
+
+
 def resolve_csv_path(data_root: str, file_type: str, ticker: str, period: str = "d") -> str:
     """The reference's path convention: `<root>/<file_type>/<ticker>/
     <ticker>_us_<period>.csv` (utils/data_handler.py:79), falling back to

@@ -1,6 +1,7 @@
 """Mesh, shardings, and distributed training steps (net-new vs reference)."""
 
 from portfoliooptgp_tpu.parallel import dist_cholesky as dist_cholesky
+from portfoliooptgp_tpu.parallel import distributed as distributed
 from portfoliooptgp_tpu.parallel import elbo_sharded as elbo_sharded
 from portfoliooptgp_tpu.parallel.dist_cholesky import sharded_gpr_nll
 from portfoliooptgp_tpu.parallel import mesh as mesh
