@@ -26,6 +26,10 @@ def _add_common(p):
     p.add_argument("--x64", action="store_true", help="float64 parity mode")
     p.add_argument("--metrics", default=None, help="JSONL metrics output path")
     p.add_argument("--plots", default=None, help="directory for PNG outputs")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler XPlane trace to LOGDIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on the first NaN produced by any computation")
 
 
 def _load_config(args):
@@ -345,6 +349,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if getattr(args, "x64", False):
         _setup(args)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if getattr(args, "profile", None):
+        from portfoliooptgp_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            return args.fn(args)
     return args.fn(args)
 
 

@@ -152,3 +152,33 @@ def test_fetch_without_token_raises(data_root, monkeypatch):
     h = make_handler(data_root)
     with pytest.raises(RuntimeError):
         h.fetch_and_save_data("FAKE", "d", "2024-02-01", "2024-05-01")
+
+
+def test_wrangle_align_by_dates():
+    from portfoliooptgp_tpu.data import wrangle
+
+    a = pd.DataFrame({"date": ["2024-01-01", "2024-01-02", "2024-01-03"], "close": [1, 2, 3]})
+    b = pd.DataFrame({"date": ["2024-01-02", "2024-01-03", "2024-01-04"], "close": [4, 5, 6]})
+    aa, bb = wrangle.align_by_dates(a, b)
+    assert len(aa) == len(bb) == 2
+    assert (aa["date"] == bb["date"]).all()
+
+
+def test_wrangle_remap_index_csv(tmp_path):
+    from portfoliooptgp_tpu.data import wrangle
+
+    src = tmp_path / "idx.csv"
+    pd.DataFrame(
+        {
+            "Date": ["01/03/2024", "01/02/2024"],
+            "Price": ["1,234.56", "1,230.00"],
+            "Open": ["1,230.00", "1,228.00"],
+            "High": ["1,240.00", "1,232.00"],
+            "Low": ["1,229.00", "1,227.00"],
+            "Vol.": ["1M", "2M"],
+            "Change %": ["0.4%", "-0.1%"],
+        }
+    ).to_csv(src, index=False)
+    out = wrangle.remap_index_csv(str(src), str(tmp_path / "out.csv"))
+    assert out["date"].is_monotonic_increasing
+    assert out["close"].iloc[1] == 1234.56
