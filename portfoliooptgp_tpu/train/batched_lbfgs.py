@@ -133,9 +133,14 @@ def fit_matrix(
         d = jnp.where(c.active[:, None], d, 0.0)
         gd = jnp.where(c.active, gd, 0.0)
 
-        # vectorized backtracking-Armijo line search
-        def ls_body(_, ls):
-            step, accepted, f_new, Z_new = ls
+        # vectorized backtracking-Armijo line search with early exit once
+        # every row has accepted (saves batched evals when steps are easy)
+        def ls_cond(ls):
+            it, step, accepted, f_new, Z_new = ls
+            return (it < max_backtracks) & jnp.any(~accepted)
+
+        def ls_body(ls):
+            it, step, accepted, f_new, Z_new = ls
             trial = c.Z + step[:, None] * d
             f_t = batched_loss(trial)
             ok = f_t <= c.f + armijo_c * step * gd
@@ -145,13 +150,11 @@ def fit_matrix(
             Z_new = jnp.where(newly[:, None], trial, Z_new)
             accepted = accepted | ok
             step = jnp.where(accepted, step, step * 0.5)
-            return step, accepted, f_new, Z_new
+            return it + 1, step, accepted, f_new, Z_new
 
         step0 = c.step0
-        ls0 = (step0, ~c.active, c.f, c.Z)  # inactive rows count as accepted
-        step, accepted, f_new, Z_new = jax.lax.fori_loop(
-            0, max_backtracks, ls_body, ls0
-        )
+        ls0 = (jnp.asarray(0), step0, ~c.active, c.f, c.Z)
+        _, step, accepted, f_new, Z_new = jax.lax.while_loop(ls_cond, ls_body, ls0)
         # rows whose line search failed keep their point this iteration
         moved = accepted & c.active
 

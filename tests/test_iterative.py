@@ -1,0 +1,135 @@
+"""Matrix-free (CG + SLQ) GPR inference: solve exactness, logdet accuracy,
+NLL + gradient agreement with the dense path within stochastic tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from portfoliooptgp_tpu import kernels as km
+from portfoliooptgp_tpu.ops import iterative
+
+
+@pytest.fixture
+def system(rng):
+    n = 300
+    X = np.sort(rng.uniform(0, 30, (n, 1)), 0)
+    kern = km.SquaredExponential.create(variance=1.2, lengthscales=1.5)
+    K = np.asarray(kern.K(jnp.asarray(X)))
+    y = (np.sin(X) + 0.1 * rng.normal(size=(n, 1)))
+    return jnp.asarray(K), jnp.asarray(y), 0.1
+
+
+def test_cg_solves_exactly(system):
+    K, y, s2 = system
+    n = K.shape[0]
+    Ks = K + s2 * jnp.eye(n)
+    x, iters = iterative.batched_cg(lambda V: Ks @ V, y, tol=1e-10, maxiter=2000)
+    want = np.linalg.solve(np.asarray(Ks), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-6)
+    assert int(iters) < 2000
+
+
+def test_cg_multiple_rhs(system):
+    K, y, s2 = system
+    n = K.shape[0]
+    Ks = K + s2 * jnp.eye(n)
+    B = jnp.concatenate([y, 2 * y, jnp.ones_like(y)], axis=1)
+    x, _ = iterative.batched_cg(lambda V: Ks @ V, B, tol=1e-10, maxiter=2000)
+    want = np.linalg.solve(np.asarray(Ks), np.asarray(B))
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-6)
+
+
+def test_slq_logdet_accuracy(system):
+    K, y, s2 = system
+    n = K.shape[0]
+    Ks = K + s2 * jnp.eye(n)
+    got = float(
+        iterative.lanczos_logdet(
+            lambda V: Ks @ V, n, jax.random.PRNGKey(0),
+            num_probes=32, num_lanczos=48, dtype=Ks.dtype,
+        )
+    )
+    want = float(np.linalg.slogdet(np.asarray(Ks))[1])
+    # stochastic estimator: a few percent of |logdet|
+    assert abs(got - want) / abs(want) < 0.05
+
+
+def test_nll_cg_matches_dense(system):
+    K, y, s2 = system
+    n = K.shape[0]
+    got = float(iterative.nll_cg(K, y, jnp.asarray(s2), jax.random.PRNGKey(0),
+                                 32, 48, 1e-8))
+    Ks = np.asarray(K) + s2 * np.eye(n)
+    L = np.linalg.cholesky(Ks)
+    a = np.linalg.solve(Ks, np.asarray(y))
+    logdet = 2 * np.log(np.diag(L)).sum()
+    want = float(
+        0.5 * (np.asarray(y) * a).sum() + 0.5 * logdet
+        + 0.5 * n * np.log(2 * np.pi)
+    )
+    # the only stochastic term is the SLQ logdet; the NLL itself can sit
+    # near zero, so tolerance scales with |logdet|
+    assert abs(got - want) < 0.02 * abs(logdet)
+
+
+def test_nll_cg_gradients_match_dense(system):
+    K, y, s2 = system
+    n = K.shape[0]
+
+    def dense_nll(K, y, noise):
+        Ks = K + noise * jnp.eye(n)
+        L = jnp.linalg.cholesky(Ks)
+        a = jax.scipy.linalg.cho_solve((L, True), y)
+        return (
+            0.5 * jnp.sum(y * a)
+            + jnp.sum(jnp.log(jnp.diagonal(L)))
+            + 0.5 * n * jnp.log(2 * jnp.pi)
+        )
+
+    # elementwise dK from a stochastic trace estimator is noisy by design;
+    # what matters is the CONTRACTED gradient w.r.t. hyperparameters
+    # (chain rule through dK/dθ averages the noise) and the noise gradient
+    X = jnp.asarray(np.sort(np.random.default_rng(1).uniform(0, 30, (n, 1)), 0))
+
+    def hyper_nll_dense(raw):
+        kern = km.SquaredExponential.create(variance=1.0, lengthscales=1.0)
+        import dataclasses
+
+        kern = dataclasses.replace(kern, raw_variance=raw[0], raw_lengthscales=raw[1])
+        return dense_nll(kern.K(X), y, jnp.asarray(s2))
+
+    def hyper_nll_cg(raw, seed=0):
+        kern = km.SquaredExponential.create(variance=1.0, lengthscales=1.0)
+        import dataclasses
+
+        kern = dataclasses.replace(kern, raw_variance=raw[0], raw_lengthscales=raw[1])
+        return iterative.nll_cg(
+            kern.K(X), y, jnp.asarray(s2), jax.random.PRNGKey(seed), 64, 48, 1e-8
+        )
+
+    raw0 = jnp.asarray([0.3, 0.8])
+    g_dense = jax.grad(hyper_nll_dense)(raw0)
+    # single-draw gradients carry O(1/sqrt(P)) stochastic-trace noise (this
+    # is how BBMM trains: Adam-style optimizers average it); the contract is
+    # UNBIASEDNESS — the mean over keys must converge to the dense gradient
+    grads = [
+        np.asarray(jax.grad(lambda r: hyper_nll_cg(r, k))(raw0))
+        for k in range(8)
+    ]
+    np.testing.assert_allclose(np.mean(grads, axis=0), np.asarray(g_dense), rtol=0.1)
+
+    _, gn_dense = jax.grad(dense_nll, argnums=(0, 2))(K, y, jnp.asarray(s2))
+    _, gn_cg = jax.grad(
+        lambda K, noise: iterative.nll_cg(K, y, noise, jax.random.PRNGKey(0),
+                                          64, 48, 1e-8),
+        argnums=(0, 1),
+    )(K, jnp.asarray(s2))
+    assert abs(float(gn_cg - gn_dense)) / abs(float(gn_dense)) < 0.05
+    # gradient of y is deterministic (CG-exact)
+    gy_dense = jax.grad(lambda y: dense_nll(K, y, jnp.asarray(s2)))(y)
+    gy_cg = jax.grad(
+        lambda y: iterative.nll_cg(K, y, jnp.asarray(s2), jax.random.PRNGKey(0),
+                                   16, 32, 1e-8)
+    )(y)
+    np.testing.assert_allclose(np.asarray(gy_cg), np.asarray(gy_dense), atol=1e-5)
