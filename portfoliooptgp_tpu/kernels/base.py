@@ -157,10 +157,10 @@ class Constant(Kernel):
         return positive(self.raw_variance)
 
     def _K(self, X, X2):
-        return jnp.full((X.shape[0], X2.shape[0]), jnp.nan) * 0.0 + self.variance
+        return jnp.full((X.shape[0], X2.shape[0]), 1.0, dtype=X.dtype) * self.variance
 
     def _Kdiag(self, X):
-        return jnp.full((X.shape[0],), jnp.nan) * 0.0 + self.variance
+        return jnp.full((X.shape[0],), 1.0, dtype=X.dtype) * self.variance
 
 
 @pytree_dataclass(meta=("active_dims",))

@@ -110,6 +110,20 @@ def predict_y(model: GPR, X, Y, Xnew, cache: Optional[GPRPosterior] = None):
     return model.likelihood.predict_mean_and_var(mean, var)
 
 
+def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
+                                   num_lanczos: int = 32, cg_tol: float = 1e-6):
+    """Matrix-free NLL for large N (CG quad + SLQ log-det, ops/iterative.py).
+    Stochastic in the log-det; use for N beyond direct-factorization budgets
+    with Adam-style optimizers that average gradient noise."""
+    from portfoliooptgp_tpu.ops import iterative
+
+    K = model.kernel.K(X)
+    err = Y - model.mean_function(X)
+    return iterative.nll_cg(
+        K, err, model.likelihood.variance, key, num_probes, num_lanczos, cg_tol
+    )
+
+
 def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
     primitive. With `fast=True` (float32 inputs, N ≤ the Pallas VMEM bound)

@@ -146,3 +146,33 @@ def test_psd_property(rng):
 def test_default_menu_matches_reference_size():
     menu = km.default_kernel_menu()
     assert len(menu) == 8  # GPR/main.py:105-114
+
+
+def test_periodic_matern_base_uses_kr(XY):
+    X, X2 = XY
+    base = km.Matern12.create(variance=0.9, lengthscales=0.6)
+    k = km.Periodic.create(base, period=1.5)
+    d = np.asarray(X)[:, None, :] - np.asarray(X2)[None, :, :]
+    sine = np.abs(np.sin(np.pi * d / 1.5) / 0.6).sum(-1)
+    want = 0.9 * np.exp(-sine)
+    np.testing.assert_allclose(k.K(jnp.asarray(X), jnp.asarray(X2)), want, rtol=1e-8)
+
+
+def test_constant_white_kernels(rng):
+    X = jnp.asarray(rng.normal(size=(6, 2)))
+    X2 = jnp.asarray(rng.normal(size=(4, 2)))
+    c = km.Constant.create(variance=2.5)
+    np.testing.assert_allclose(np.asarray(c.K(X, X2)), 2.5, rtol=1e-12)
+    w = km.White.create(variance=0.3)
+    np.testing.assert_allclose(np.asarray(w.K(X)), 0.3 * np.eye(6), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w.K(X, X2)), 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(w.Kdiag(X)), 0.3, rtol=1e-12)
+
+
+def test_polynomial_mean_function():
+    X = jnp.asarray(np.linspace(-1, 1, 7)[:, None])
+    m = km.PolynomialMean.create(degree=2, w=[1.0, 2.0, 3.0])
+    want = 1.0 + 2.0 * np.asarray(X) + 3.0 * np.asarray(X) ** 2
+    np.testing.assert_allclose(np.asarray(m(X)), want, rtol=1e-12)
+    lin = km.LinearMean.create(A=[2.0], b=0.5)
+    np.testing.assert_allclose(np.asarray(lin(X)), 2.0 * np.asarray(X) + 0.5, rtol=1e-12)
