@@ -84,6 +84,8 @@ def batched_walk_forward(
     restart_noise_inits: Sequence[float] = (1e-3,),
     maxiter: int = 200,
     train_likelihood_variance: bool = True,
+    warm_start: bool = False,
+    warm_maxiter: Optional[int] = None,
     **fit_kw,
 ) -> WalkForwardResult:
     """Train all walk-forward days at once.
@@ -93,6 +95,14 @@ def batched_walk_forward(
     n_train + d. With R restart noise inits the batch is D×R rows and the
     best restart per day is selected by final loss
     (models/model_trainer.py:40-48 semantics).
+
+    warm_start=True (off by default for reference parity) first trains only
+    day 0's R restart rows to convergence, then initializes every day's row
+    from the matching day-0 optimum and polishes the full D×R batch for
+    `warm_maxiter` iterations (default maxiter//4). Growing-prefix refits
+    move hyperparameters very little day-to-day, so the polish phase
+    typically converges in a handful of iterations — the intentional perf
+    improvement flagged in SURVEY.md §5 (checkpoint/resume).
     """
     n_full = X_full.shape[0]
     if n_days is None:
@@ -106,16 +116,31 @@ def batched_walk_forward(
 
     models = [make_model(v) for v in restart_noise_inits]
     stacked_r = lbfgs.stack_pytrees(models)  # leading axis R
-    # tile to (D*R, ...): day-major so reshape recovers (D, R)
-    stacked = jax.tree.map(
-        lambda x: jnp.tile(x, (D,) + (1,) * (x.ndim - 1)), stacked_r
-    )
     masks_dr = jnp.repeat(masks, R, axis=0)  # (D*R, n)
 
     frozen = (
         None
         if train_likelihood_variance
         else lbfgs.freeze_leaves(models[0], likelihood=True)
+    )
+
+    if warm_start:
+        # phase 1: day 0 only (R rows) to convergence on its prefix mask
+        masks_r0 = jnp.tile(masks[:1], (R, 1))
+
+        def day0_loss(ms):
+            return jax.vmap(lambda m, msk: masked_nll(m, X_full, Y_full, msk))(
+                ms, masks_r0
+            )
+
+        stacked_r, _ = batched_lbfgs.fit_batched_fused(
+            day0_loss, stacked_r, frozen=frozen, maxiter=maxiter, **fit_kw
+        )
+        maxiter = warm_maxiter if warm_maxiter is not None else max(maxiter // 4, 10)
+
+    # tile to (D*R, ...): day-major so reshape recovers (D, R)
+    stacked = jax.tree.map(
+        lambda x: jnp.tile(x, (D,) + (1,) * (x.ndim - 1)), stacked_r
     )
 
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod

@@ -68,6 +68,28 @@ def test_batched_walk_forward_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(res.f_var), seq_vars, rtol=0.2, atol=1e-4)
 
 
+def test_walk_forward_warm_start_matches_cold(rng):
+    """warm_start=True (day-0 pre-train + tiled polish) must land on the
+    same optima as the cold run: growing-prefix refits move hyperparameters
+    little, so the polish phase converges to the same losses/predictions."""
+    X, Y = make_series(rng, n=40)
+    kw = dict(
+        make_model=lambda v: gpr.GPR.create(km.SquaredExponential.create(), v),
+        restart_noise_inits=(1e-3, 1e-1),
+        gtol=1e-7,
+    )
+    cold = wf.batched_walk_forward(X, Y, 35, maxiter=300, **kw)
+    warm = wf.batched_walk_forward(
+        X, Y, 35, maxiter=300, warm_start=True, warm_maxiter=60, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(warm.losses), np.asarray(cold.losses), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(warm.f_mean), np.asarray(cold.f_mean), rtol=0.02, atol=2e-3
+    )
+
+
 def test_walk_forward_fused_f32_path(rng):
     """float32 inputs route through the fused Pallas kernel (interpret mode
     on CPU) and still produce finite, sane predictions."""
