@@ -40,6 +40,44 @@ def train_svgp(
     return SVGPTrainResult(model=res.params, elbo=-res.loss, iters=res.iters)
 
 
+def train_svgp_minibatched(
+    model: SVGP,
+    X,
+    Y,
+    *,
+    batch_size: int,
+    num_epochs: int = 10,
+    mesh=None,
+    optimizer=None,
+    freeze_likelihood: bool = True,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> SVGPTrainResult:
+    """Adam on the (optionally mesh-sharded) minibatch negative ELBO, fed by
+    the host-prefetch iterator (data/iterator.py). The async dispatch model
+    means the device is never waiting on host slicing: batch i+1 transfers
+    while step i runs. Replaces the reference's full-batch closure
+    (test_scripts/SVGP.py:530-533) for N too large to sit in one batch."""
+    from portfoliooptgp_tpu.data.iterator import MinibatchIterator
+    from portfoliooptgp_tpu.parallel import elbo_sharded
+
+    frozen = lbfgs.freeze_leaves(model, likelihood=True) if freeze_likelihood else None
+    init_fn, step_fn = elbo_sharded.make_elbo_train_step(
+        num_data=X.shape[0], mesh=mesh, optimizer=optimizer, frozen=frozen
+    )
+    state = init_fn(model)
+    loss = jnp.asarray(jnp.inf)
+    steps = 0
+    with MinibatchIterator(
+        X, Y, batch_size, mesh=mesh, num_epochs=num_epochs,
+        shuffle=shuffle, seed=seed,
+    ) as it:
+        for Xb, Yb, wb in it:
+            state, loss = step_fn(state, Xb, Yb, wb)
+            steps += 1
+    return SVGPTrainResult(model=state.model, elbo=-loss, iters=jnp.asarray(steps))
+
+
 class SVGPMenuResult(NamedTuple):
     best_index: int
     best: SVGPTrainResult
