@@ -78,15 +78,19 @@ def bench_tpu():
         _, vs = jax.lax.scan(body, stacked, None, length=STEPS)
         return vs
 
-    vs = chain(stacked)
-    jax.block_until_ready(vs)
-    assert bool(jnp.all(jnp.isfinite(vs[0]))), "non-finite NLL in benchmark"
+    vs = np.asarray(chain(stacked))
+    assert bool(np.all(np.isfinite(vs[0]))), "non-finite NLL in benchmark"
+
+    # The remote-execution tunnel memoizes identical (executable, inputs)
+    # pairs and resolves block_until_ready on unmaterialized futures, so each
+    # rep must perturb the inputs AND pull the result to the host.
+    def perturbed(i):
+        return jax.tree.map(lambda p: p * (1.0 + 1e-7 * (i + 1)), stacked)
 
     reps = 0
     t0 = time.perf_counter()
     while True:
-        vs = chain(stacked)
-        jax.block_until_ready(vs)
+        vs = np.asarray(chain(perturbed(reps)))
         reps += 1
         dt = time.perf_counter() - t0
         if dt > 3.0 and reps >= 3 or dt > MAXN_TIMING_S:

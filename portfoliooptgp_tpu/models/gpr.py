@@ -135,9 +135,12 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
 
     n = X.shape[0]
+    leaves = jax.tree.leaves(stacked_model)
+    params_f32 = all(jnp.asarray(l).dtype == jnp.float32 for l in leaves)
     use_fast = (
         fast
         and X.dtype == jnp.float32
+        and params_f32  # f64 params (parity mode) take the XLA path
         and Y.shape[1] == 1
         and nll_mod.pallas_nll_supported(n)
     )

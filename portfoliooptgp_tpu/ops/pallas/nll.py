@@ -36,42 +36,112 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2PI = 1.8378770664093453
 
 
+PANEL = 64  # static column-panel width: the trailing rank-1 update is sliced
+# to columns >= the panel start, shaving the already-factored leading block
+# (average trailing fraction ~(1+1/nb)/2 of the full-width update)
+
+
 def _nll_kernel(A_ref, y_ref, L_ref, a_ref, logdet_ref, *, n, b_tile):
     """One grid program: factor+solve `b_tile` matrices of size n×n.
     L_ref aliases A_ref (input_output_aliases) — the factorization happens
-    in place in VMEM."""
+    in place in VMEM. The column loop is split into static panels so the
+    rank-1 trailing update only touches columns >= the panel start."""
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
     # stage the input into the output VMEM buffer: the HBM alias shares
     # storage, but the pipeline's VMEM staging buffers are distinct
     L_ref[...] = A_ref[...]
 
-    def body(i, carry):
-        a, logdet = carry
-        col = L_ref[i]  # (b, n): column i of each matrix over rows (lanes)
-        onehot = (lanes == i).astype(dtype)  # (1, n)
-        d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)  # (b, 1)
-        d = jnp.sqrt(d2)
-        # masked, scaled column of L: zero at rows <= i (diag added on store)
-        below = (lanes > i).astype(dtype)
-        m = col * below / d  # (b, n)
-        # rank-1 trailing update: A[c, b, r] -= m[b, c] * m[b, r]; the mask
-        # zeroes contributions outside the trailing block, and row i is
-        # untouched (m[b, i] = 0), so overwriting it with the L column after
-        # the update is safe
-        mT = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1) — m over columns
-        L_ref[...] = L_ref[...] - mT * m[None, :, :]
-        L_ref[i, :, :] = m + d * onehot
-        # fused forward substitution on y: a_i = a[.,i]/d; a -= m * a_i
-        ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
-        ai = ai_orig / d
-        a = a - m * ai + (ai - ai_orig) * onehot
-        logdet = logdet + jnp.log(d)
-        return a, logdet
+    a0 = y_ref[...]
+    logdet0 = jnp.zeros((b_tile, 1), dtype)
+    carry = (a0, logdet0)
+    for off in range(0, n, PANEL):
+
+        def body(j, carry, off=off):
+            a, logdet = carry
+            i = off + j
+            col = L_ref[i]  # (b, n): column i of each matrix over rows (lanes)
+            onehot = (lanes == i).astype(dtype)  # (1, n)
+            d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)  # (b, 1)
+            d = jnp.sqrt(d2)
+            # masked, scaled column of L: zero at rows <= i (diag on store)
+            below = (lanes > i).astype(dtype)
+            m = col * below / d  # (b, n)
+            # rank-1 trailing update: A[c, b, r] -= m[b, c] * m[b, r] for
+            # c >= off only (m[b, c] = 0 for c <= i so columns off..i are
+            # no-ops; columns < off never change again). Row i is untouched
+            # (m[b, i] = 0), so overwriting it with the L column is safe.
+            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
+            # value slicing must go through slice_in_dim: python [off:] on a
+            # transposed value lowers to an unsupported Mosaic gather
+            mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
+            L_ref[off:, :, :] = L_ref[off:, :, :] - mT * m[None, :, :]
+            L_ref[i, :, :] = m + d * onehot
+            # fused forward substitution on y: a_i = a[.,i]/d; a -= m * a_i
+            ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
+            ai = ai_orig / d
+            a = a - m * ai + (ai - ai_orig) * onehot
+            logdet = logdet + jnp.log(d)
+            return a, logdet
+
+        carry = jax.lax.fori_loop(0, min(PANEL, n - off), body, carry)
+    a, logdet = carry
+    a_ref[...] = a
+    logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
+
+
+def _nll_inv_kernel(A_ref, y_ref, W_ref, a_ref, logdet_ref, L_s, *, n, b_tile):
+    """Fused factor + solve + logdet + triangular inverse in ONE column loop.
+
+    Used as the forward pass of the custom VJP: the backward needs only
+    W = L⁻¹ (for Ks⁻¹ = WᵀW) and a = L⁻¹y, never L itself — so the factor
+    lives in VMEM scratch `L_s` and is never written back to HBM, and the
+    separate triangular-inverse kernel (its own n-step loop + staging) is
+    eliminated. Per column i the factor's trailing update (columns > i) and
+    the inverse's trailing update (rows > i) share the same masked column m
+    and the same static panel slice.
+    """
+    dtype = y_ref.dtype
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
+    L_s[...] = A_ref[...]
+    # W starts as the identity in every batch slot; layout (row, b, col)
+    eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
+    eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
+    W_ref[...] = jnp.broadcast_to((eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
 
     a0 = y_ref[...]
     logdet0 = jnp.zeros((b_tile, 1), dtype)
-    a, logdet = jax.lax.fori_loop(0, n, body, (a0, logdet0))
+    carry = (a0, logdet0)
+    for off in range(0, n, PANEL):
+
+        def body(j, carry, off=off):
+            a, logdet = carry
+            i = off + j
+            col = L_s[i]
+            onehot = (lanes == i).astype(dtype)
+            d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)
+            d = jnp.sqrt(d2)
+            below = (lanes > i).astype(dtype)
+            m = col * below / d  # (b, n): strictly-below L column, scaled
+            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
+            mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
+            # factor trailing update (columns >= off); column i of L is never
+            # re-read, so it is not stored at all
+            L_s[off:, :, :] = L_s[off:, :, :] - mT * m[None, :, :]
+            # inverse: row i of W scales by 1/d, rows > i get the rank-1
+            Wi = W_ref[i] / d  # (b, n)
+            W_ref[i, :, :] = Wi
+            W_ref[off:, :, :] = W_ref[off:, :, :] - mT * Wi[None, :, :]
+            # row i is in [off:] but m[b, i] = 0 keeps it intact
+            # fused forward substitution on y
+            ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
+            ai = ai_orig / d
+            a = a - m * ai + (ai - ai_orig) * onehot
+            logdet = logdet + jnp.log(d)
+            return a, logdet
+
+        carry = jax.lax.fori_loop(0, min(PANEL, n - off), body, carry)
+    a, logdet = carry
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
@@ -209,6 +279,52 @@ def _factor_solve(K, y, noise, interpret=None):
     return nll, L, a
 
 
+def _factor_solve_inv(K, y, noise, interpret=None):
+    """Fused Pallas factor+solve+logdet+inverse (one kernel, one column loop).
+    Returns (nll (B,), W_layout (Np,Bp,Np) with W[r,b,q] = (L_b⁻¹)[r,q],
+    a (Bp,Np)). The Cholesky factor itself never leaves VMEM."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, N, _ = K.shape
+    dtype = K.dtype
+    Np = N + ((-N) % 128)
+    Ks = K + noise[:, None, None] * jnp.eye(N, dtype=dtype)
+    if Np != N:
+        Ks = _pad(_pad(Ks, 1, 128), 2, 128)
+        eye_tail = jnp.concatenate([jnp.zeros((N,), dtype), jnp.ones((Np - N,), dtype)])
+        Ks = Ks + jnp.diag(eye_tail)[None]
+        y = _pad(y, 1, 128)
+    b_tile = 8
+    Ks = _pad(Ks, 0, b_tile)
+    y = _pad(y, 0, b_tile)
+    Bp = Ks.shape[0]
+    A = jnp.swapaxes(Ks, 0, 1)
+    grid = (Bp // b_tile,)
+    W, a, logdet = pl.pallas_call(
+        functools.partial(_nll_inv_kernel, n=Np, b_tile=b_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Np, b_tile, Np), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Np, b_tile, Np), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Bp, Np), dtype),  # W = L^{-1}, row layout
+            jax.ShapeDtypeStruct((Bp, Np), dtype),  # a = L^{-1} y
+            jax.ShapeDtypeStruct((Bp, 128), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
+        interpret=interpret,
+    )(A, y)
+    quad = jnp.sum(a[:, :N] * a[:, :N], axis=-1)
+    nll = (0.5 * quad + logdet[:, 0] + 0.5 * N * LOG2PI)[:B]
+    return nll, W, a
+
+
 def _trinv_kernel(L_ref, W_ref, *, n, b_tile):
     """W = L⁻¹ by column-oriented forward substitution on identity RHS.
     L_ref layout (col, b, row); W_ref layout (row, b, col)."""
@@ -269,13 +385,12 @@ def batched_nll(K, y, noise):
 
 
 def _batched_nll_fwd(K, y, noise):
-    nll, L, a = _factor_solve(K, y, noise)
-    return nll, (L, a, K.shape[1], K.shape[0])
+    nll, W, a = _factor_solve_inv(K, y, noise)
+    return nll, (W, a, K.shape[1], K.shape[0])
 
 
 def _batched_nll_bwd(res, g):
-    L, a, N, B = res
-    W = triangular_inverse_pallas(L)  # (Np, Bp, Np): W[r, b, q]
+    W, a, N, B = res
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]  # (B, r, q)
     Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb)  # L⁻ᵀ L⁻¹
     alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N])  # Wᵀ a = Ks⁻¹ y
