@@ -1,4 +1,6 @@
 """Component micro-bench with perturbed inputs + forced host transfer."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -126,12 +126,14 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
 
 def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
-    primitive. With `fast=True` (float32 inputs, N ≤ the Pallas VMEM bound)
-    the whole batch goes through the fused Pallas factor+solve+logdet kernel
-    (ops/pallas/nll.py) with its custom VJP; otherwise falls back to the
-    vmapped XLA path. Returns (B,) losses."""
+    primitive. With `fast=True` and float32 inputs the batch is routed by N:
+    N ≤ 256 → fused in-VMEM Pallas factor+solve+logdet kernel
+    (ops/pallas/nll.py); 256 < N ≤ 4096 → blocked Pallas-panel + MXU-syrk
+    Cholesky (ops/pallas/blocked_nll.py); otherwise the vmapped XLA path.
+    All three share the same custom-VJP contract. Returns (B,) losses."""
     import jax
 
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
 
     n = X.shape[0]
@@ -142,7 +144,7 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
         and X.dtype == jnp.float32
         and params_f32  # f64 params (parity mode) take the XLA path
         and Y.shape[1] == 1
-        and nll_mod.pallas_nll_supported(n)
+        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_supported(n))
     )
     if not use_fast:
         return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
@@ -150,4 +152,6 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked_model)
     err = Y[None, :, 0] - jax.vmap(lambda m: m.mean_function(X))(stacked_model)[:, :, 0]
-    return nll_mod.batched_nll(Kb, err, noise)
+    if nll_mod.pallas_nll_supported(n):
+        return nll_mod.batched_nll(Kb, err, noise)
+    return blocked_mod.batched_nll_blocked(Kb, err, noise)

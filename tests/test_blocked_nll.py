@@ -1,0 +1,91 @@
+"""Blocked large-N Pallas NLL (ops/pallas/blocked_nll.py) vs dense reference.
+
+Runs in interpreter mode on the CPU mesh (conftest forces cpu). N > 256
+exercises the panel loop with more than one trailing update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
+
+LOG2PI = np.log(2 * np.pi)
+
+
+def _problem(B=8, N=320, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(B, N, N)).astype(np.float32)
+    K = (A @ np.swapaxes(A, 1, 2) / N).astype(np.float32)
+    y = rng.normal(size=(B, N)).astype(np.float32)
+    noise = np.linspace(0.3, 0.8, B).astype(np.float32)
+    return K, y, noise
+
+
+def _dense_ref(K, y, noise):
+    N = K.shape[1]
+    Ks = K.astype(np.float64) + noise[:, None, None] * np.eye(N)
+    out = []
+    for b in range(K.shape[0]):
+        L = np.linalg.cholesky(Ks[b])
+        a = np.linalg.solve(Ks[b], y[b].astype(np.float64))
+        out.append(0.5 * y[b] @ a + np.log(np.diag(L)).sum() + 0.5 * N * LOG2PI)
+    return np.array(out)
+
+
+def test_blocked_nll_matches_dense():
+    K, y, noise = _problem()
+    nll = bn.batched_nll_blocked(jnp.asarray(K), jnp.asarray(y), jnp.asarray(noise))
+    ref = _dense_ref(K, y, noise)
+    np.testing.assert_allclose(np.asarray(nll), ref, rtol=2e-5)
+
+
+def test_blocked_cholesky_factor():
+    K, _, noise = _problem(B=8, N=256)
+    Ks = K + noise[:, None, None] * np.eye(256, dtype=np.float32)
+    L, logdet = bn.blocked_cholesky(jnp.asarray(Ks))
+    L = np.asarray(L)
+    # lower triangular and LL^T = Ks
+    assert np.allclose(L, np.tril(L))
+    np.testing.assert_allclose(L @ np.swapaxes(L, 1, 2), Ks, rtol=1e-4, atol=1e-4)
+    ref_logdet = [np.log(np.diag(np.linalg.cholesky(Ks[b].astype(np.float64)))).sum()
+                  for b in range(8)]
+    np.testing.assert_allclose(np.asarray(logdet), ref_logdet, rtol=1e-5)
+
+
+def test_blocked_nll_grads_match_xla():
+    K, y, noise = _problem()
+    N = K.shape[1]
+    Kj, yj, nj = jnp.asarray(K), jnp.asarray(y), jnp.asarray(noise)
+
+    def xla_nll(K, y, n):
+        Ks = K + n[:, None, None] * jnp.eye(N, dtype=K.dtype)
+        L = jnp.linalg.cholesky(Ks)
+        a = jax.scipy.linalg.solve_triangular(L, y[..., None], lower=True)[..., 0]
+        return (0.5 * jnp.sum(a * a, -1)
+                + jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+                + 0.5 * N * LOG2PI)
+
+    g1 = jax.grad(lambda *a: jnp.sum(bn.batched_nll_blocked(*a)), argnums=(0, 1, 2))(Kj, yj, nj)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_nll(*a)), argnums=(0, 1, 2))(Kj, yj, nj)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_gpr_dispatch_routes_large_n_through_blocked():
+    """batched_neg_log_marginal_likelihood at N>256 equals the XLA fallback."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    rng = np.random.default_rng(1)
+    N = 300
+    X = jnp.asarray(np.sort(rng.uniform(0, 50, (N, 1))), jnp.float32)
+    Y = jnp.asarray(np.sin(np.asarray(X)) + 0.1 * rng.normal(size=(N, 1)), jnp.float32)
+    ms = [gpr.GPR.create(km.SquaredExponential.create(variance=v, lengthscales=2.0),
+                         noise_variance=0.1) for v in (0.5, 1.0)]
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           lbfgs.stack_pytrees(ms))
+    fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+    ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-4)
