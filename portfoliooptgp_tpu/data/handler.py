@@ -104,6 +104,18 @@ class DataHandler:
         df = df.set_index("day_of_year")
         return df[[predict_Y]]
 
+    def process_2D_X(self, ticker, start_date=None, end_date=None, predict_Y="close"):
+        """Stock frame with return/intraday columns, normalized on the chosen
+        target (utils/data_handler.py:107-125). Kept as a distinct entry for
+        parity: the reference uses it when the 2-D input is (features, time)
+        rather than a concatenated multi-asset matrix."""
+        start_date = start_date or self.train_start_date
+        end_date = end_date or self.train_end_date
+        df = loader.load_frame(self.data_root, "Stocks", ticker, "d", start_date, end_date)
+        df["day_of_year"] = cal.days_since(df["date"], self.train_start_date)
+        df = transforms.add_return_columns(df)
+        return self.normalize_and_reshape(df, y_column=predict_Y)
+
     def normalize_and_reshape(self, df, y_column="return", x_column="day_of_year",
                               normalize=True, normalize_x=True):
         y = df[y_column].to_numpy(dtype=float)

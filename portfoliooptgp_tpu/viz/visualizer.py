@@ -125,6 +125,28 @@ class Visualizer:
         ax.set_title(strategy_name)
         return self._finish(fig, filename)
 
+    def plot_arima_comparison(self, actual, gpr_predictions, arima_predictions,
+                              days=None, ylabel="Close Price",
+                              title="Comparison of Predicted Values from GPR and ARIMA Models",
+                              filename=None):
+        """GPR-vs-ARIMA overlay (utils/visualizer.py:289-307), generalized to
+        take the actual series instead of the reference's hard-coded demo."""
+        actual = np.asarray(actual, dtype=float)
+        days = np.arange(1, len(actual) + 1) if days is None else np.asarray(days)
+        fig, ax = plt.subplots()
+        ax.plot(days, actual, marker="o", linestyle="-", label="Actual Values",
+                color=PALETTE[0])
+        ax.plot(days, np.asarray(gpr_predictions, dtype=float), marker="x",
+                linestyle="--", label="GPR Predictions", color=PALETTE[1])
+        ax.plot(days, np.asarray(arima_predictions, dtype=float), marker="^",
+                linestyle="-.", label="ARIMA Predictions", color=PALETTE[2])
+        ax.set_xlabel("Day")
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        ax.legend()
+        ax.grid(True)
+        return self._finish(fig, filename)
+
     def plot_asset_allocations(self, weights_per_day, assets: Sequence[str],
                                time_points=None, strategy_name="", filename=None):
         """Per-day allocation pies (utils/visualizer.py:228-286)."""

@@ -182,3 +182,25 @@ def test_wrangle_remap_index_csv(tmp_path):
     out = wrangle.remap_index_csv(str(src), str(tmp_path / "out.csv"))
     assert out["date"].is_monotonic_increasing
     assert out["close"].iloc[1] == 1234.56
+
+
+def test_process_2d_x(data_root):
+    """process_2D_X parity (utils/data_handler.py:107-125): stock frame with
+    return/intraday columns, normalized on the chosen target."""
+    h = make_handler(data_root)
+    X, Y, dates, (y_mean, y_std), (x_mean, x_std) = h.process_2D_X(
+        "FAKE", predict_Y="close")
+    assert X.shape == Y.shape and X.shape[1] == 1
+    assert abs(float(np.mean(np.asarray(Y)))) < 1e-8  # z-scored
+    assert y_std > 0
+
+
+def test_plot_arima_comparison(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from portfoliooptgp_tpu.viz.visualizer import Visualizer
+    out = tmp_path / "cmp.png"
+    Visualizer().plot_arima_comparison(
+        [180, 182, 183], [181, 182.5, 183.5], [180.5, 181.5, 182.5],
+        filename=str(out))
+    assert out.exists()
