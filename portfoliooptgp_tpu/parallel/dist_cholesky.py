@@ -20,8 +20,17 @@ with collective panel exchanges:
 
 Communication per panel is one (nb×nb) psum + one (N×nb) all_gather — the
 classic panel-broadcast pattern, compiled to XLA collectives over ICI.
-Contiguous row ownership keeps the indexing simple at the cost of tail-end
-imbalance; block-cyclic layout is a follow-up optimization.
+
+Two row layouts (ScaLAPACK terminology):
+- `contiguous`: device d owns rows [d·N/D, (d+1)·N/D) — simple, but once the
+  panel frontier passes a device's rows it idles for the rest of the
+  factorization (the classic tail imbalance);
+- `cyclic` (1-D block-cyclic): device d owns row blocks {b : b mod D = d},
+  so every device keeps rows in every trailing region and stays busy until
+  the last panel. The matrix itself is NOT permuted — only the row→device
+  assignment changes (row_g / owner / panel-reassembly formulas); the public
+  wrapper permutes rows at the boundary and JAX transposes the permutation
+  in the VJP automatically.
 
 Training support: `sharded_gpr_nll` carries a custom VJP, so kernel
 hyperparameters can be optimized by `jax.grad` straight through the
@@ -50,8 +59,51 @@ from jax.sharding import Mesh, PartitionSpec as P
 from portfoliooptgp_tpu.parallel.mesh import DATA_AXIS
 
 
+def _layout(cyclic: bool, d, n_local: int, nb: int, n_dev: int):
+    """Row-ownership formulas for the two layouts.
+
+    Returns (row_g, owner_off, assemble):
+    - row_g (n_local,): global row index of each local row;
+    - owner_off(kb) -> (owner: bool, off: local row offset of panel kb's
+      diagonal block on its owner);
+    - assemble(gathered (D, n_local, ...)) -> (N, ...) rows in global order.
+    """
+    j = jnp.arange(n_local)
+    if not cyclic:
+        row_g = d * n_local + j
+
+        def owner_off(kb):
+            owner = (kb // n_local) == jnp.asarray(d, jnp.int32)
+            off = jnp.clip(kb - jnp.asarray(d, jnp.int32) * n_local, 0, n_local - nb)
+            return owner, off
+
+        def assemble(gathered):
+            D = gathered.shape[0]
+            return gathered.reshape((D * n_local,) + gathered.shape[2:])
+
+    else:
+        row_g = ((j // nb) * n_dev + d) * nb + (j % nb)
+
+        def owner_off(kb):
+            k = kb // nb
+            owner = (k % n_dev) == jnp.asarray(d, jnp.int32)
+            off = (k // n_dev) * nb
+            return owner, off
+
+        def assemble(gathered):
+            # gathered[dev][b_local] is global block b_local·D + dev
+            D = gathered.shape[0]
+            nbl = n_local // nb
+            tail = gathered.shape[2:]
+            g = gathered.reshape((D, nbl, nb) + tail)
+            g = jnp.moveaxis(g, 0, 1)  # (nbl, D, nb, ...)
+            return g.reshape((D * n_local,) + tail)
+
+    return row_g, owner_off, assemble
+
+
 def _local_nll(Kl, yl, noise, *, n_local: int, nb: int, axis: str,
-               store_l: bool = False):
+               store_l: bool = False, cyclic: bool = False):
     """shard_map body: Kl (n_local, N) rows of K+σ²I‐to‐be, yl (n_local, 1).
 
     With store_l=True additionally returns the local rows of the Cholesky
@@ -62,7 +114,7 @@ def _local_nll(Kl, yl, noise, *, n_local: int, nb: int, axis: str,
     nblocks = N // nb
     dtype = Kl.dtype
 
-    row_g = d * n_local + jnp.arange(n_local)  # global row indices (n_local,)
+    row_g, owner_off, assemble = _layout(cyclic, d, n_local, nb, n_dev)
     # add noise on the local diagonal
     Kl = Kl + noise * (
         (row_g[:, None] == jnp.arange(N)[None, :]).astype(dtype)
@@ -72,8 +124,7 @@ def _local_nll(Kl, yl, noise, *, n_local: int, nb: int, axis: str,
         A, Ll, acc, quad, logdet = carry
         kb = jnp.asarray(k * nb, jnp.int32)
         zero = jnp.asarray(0, jnp.int32)
-        owner = (kb // n_local) == jnp.asarray(d, jnp.int32)
-        off = jnp.clip(kb - jnp.asarray(d, jnp.int32) * n_local, 0, n_local - nb)
+        owner, off = owner_off(kb)
 
         # 1. assemble the diagonal block on every device
         diag_rows = jax.lax.dynamic_slice(A, (off, kb), (nb, nb))
@@ -88,7 +139,7 @@ def _local_nll(Kl, yl, noise, *, n_local: int, nb: int, axis: str,
 
         # 3. share the panel and apply the trailing update
         gathered = jax.lax.all_gather(Pl, axis)  # (D, n_local, nb)
-        panel_full = gathered.reshape(N, nb)
+        panel_full = assemble(gathered)  # (N, nb) rows in global order
         A = A - Pl @ panel_full.T
         if store_l:
             Ll = jax.lax.dynamic_update_slice(Ll, Pl, (zero, kb))
@@ -118,7 +169,8 @@ def _local_nll(Kl, yl, noise, *, n_local: int, nb: int, axis: str,
     return nll[None]
 
 
-def _local_vjp(Ll, yl, ct, *, n_local: int, nb: int, axis: str):
+def _local_vjp(Ll, yl, ct, *, n_local: int, nb: int, axis: str,
+               cyclic: bool = False):
     """shard_map body of the backward pass.
 
     Ll: (n_local, N) local rows of L; yl: (n_local, 1); ct: scalar cotangent.
@@ -130,12 +182,7 @@ def _local_vjp(Ll, yl, ct, *, n_local: int, nb: int, axis: str):
     nblocks = N // nb
     dtype = Ll.dtype
     zero = jnp.asarray(0, jnp.int32)
-    row_g = d * n_local + jnp.arange(n_local)
-
-    def owner_off(kb):
-        owner = (kb // n_local) == jnp.asarray(d, jnp.int32)
-        off = jnp.clip(kb - jnp.asarray(d, jnp.int32) * n_local, 0, n_local - nb)
-        return owner, off
+    row_g, owner_off, assemble = _layout(cyclic, d, n_local, nb, n_dev)
 
     def diag_block(kb):
         owner, off = owner_off(kb)
@@ -196,9 +243,9 @@ def _local_vjp(Ll, yl, ct, *, n_local: int, nb: int, axis: str):
 
     W = jax.lax.fori_loop(0, nblocks, sweep, jnp.zeros((n_local, N), dtype))
 
-    y_full = jax.lax.all_gather(yl, axis).reshape(N, 1)
+    y_full = assemble(jax.lax.all_gather(yl, axis))  # (N, 1) global order
     alpha_l = W @ y_full  # (n_local, 1) local rows of α = (K+σ²I)⁻¹ y
-    alpha_full = jax.lax.all_gather(alpha_l, axis).reshape(N, 1)
+    alpha_full = assemble(jax.lax.all_gather(alpha_l, axis))
 
     dK = ct * 0.5 * (W - alpha_l @ alpha_full.T)
     dy = ct * alpha_l
@@ -210,11 +257,12 @@ def _local_vjp(Ll, yl, ct, *, n_local: int, nb: int, axis: str):
     return dK, dy, dnoise[None]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _sharded_nll(K, y, noise, mesh: Mesh, block_size: int):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sharded_nll(K, y, noise, mesh: Mesh, block_size: int, cyclic: bool):
     n_local = K.shape[0] // mesh.shape[DATA_AXIS]
     f = jax.shard_map(
-        partial(_local_nll, n_local=n_local, nb=block_size, axis=DATA_AXIS),
+        partial(_local_nll, n_local=n_local, nb=block_size, axis=DATA_AXIS,
+                cyclic=cyclic),
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
         out_specs=P(DATA_AXIS),
@@ -224,11 +272,11 @@ def _sharded_nll(K, y, noise, mesh: Mesh, block_size: int):
     return out[0]  # every shard computed the same value
 
 
-def _sharded_nll_fwd(K, y, noise, mesh, block_size):
+def _sharded_nll_fwd(K, y, noise, mesh, block_size, cyclic):
     n_local = K.shape[0] // mesh.shape[DATA_AXIS]
     f = jax.shard_map(
         partial(_local_nll, n_local=n_local, nb=block_size, axis=DATA_AXIS,
-                store_l=True),
+                store_l=True, cyclic=cyclic),
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS, None)),
@@ -238,11 +286,12 @@ def _sharded_nll_fwd(K, y, noise, mesh, block_size):
     return out[0], (Ll, y)
 
 
-def _sharded_nll_bwd(mesh, block_size, res, ct):
+def _sharded_nll_bwd(mesh, block_size, cyclic, res, ct):
     Ll, y = res
     n_local = y.shape[0] // mesh.shape[DATA_AXIS]
     f = jax.shard_map(
-        partial(_local_vjp, n_local=n_local, nb=block_size, axis=DATA_AXIS),
+        partial(_local_vjp, n_local=n_local, nb=block_size, axis=DATA_AXIS,
+                cyclic=cyclic),
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
@@ -255,13 +304,30 @@ def _sharded_nll_bwd(mesh, block_size, res, ct):
 _sharded_nll.defvjp(_sharded_nll_fwd, _sharded_nll_bwd)
 
 
-def sharded_gpr_nll(K, y, noise, mesh: Mesh, block_size: int = 64):
+def cyclic_row_permutation(N: int, n_dev: int, block_size: int):
+    """Row permutation placing 1-D block-cyclic shards contiguously: shard d
+    holds global blocks {b : b mod D = d} in order. perm[new] = old."""
+    import numpy as np
+
+    blocks = np.arange(N // block_size)
+    order = np.concatenate([blocks[blocks % n_dev == d] for d in range(n_dev)])
+    return (order[:, None] * block_size + np.arange(block_size)[None, :]).reshape(-1)
+
+
+def sharded_gpr_nll(K, y, noise, mesh: Mesh, block_size: int = 64,
+                    layout: str = "contiguous"):
     """Exact-GPR NLL with K's rows sharded over the mesh data axis.
 
     K: (N, N) kernel matrix (place rows over DATA_AXIS before calling, or
     pass a replicated array and let jit repartition); y: (N, 1);
     noise: scalar σ². N must divide by (devices · block_size) and panels
     must not straddle devices (block_size | N/devices).
+
+    layout: 'contiguous' (device d owns rows [d·N/D, (d+1)·N/D)) or 'cyclic'
+    (1-D block-cyclic — device d owns row blocks {b : b mod D = d}, keeping
+    every device busy through the whole factorization instead of idling once
+    the panel frontier passes its rows). The cyclic wrapper permutes rows at
+    the boundary; gradients are un-permuted automatically by JAX.
 
     Differentiable: `jax.grad` w.r.t. K, y, and noise flows through a custom
     VJP that assembles the closed-form GPR gradients with the same
@@ -275,4 +341,11 @@ def sharded_gpr_nll(K, y, noise, mesh: Mesh, block_size: int = 64):
     n_local = N // n_dev
     if n_local % block_size:
         raise ValueError(f"block_size={block_size} must divide N/devices={n_local}")
-    return _sharded_nll(K, y, jnp.asarray(noise, K.dtype), mesh, block_size)
+    if layout not in ("contiguous", "cyclic"):
+        raise ValueError(f"unknown layout: {layout!r}")
+    cyclic = layout == "cyclic"
+    if cyclic:
+        perm = jnp.asarray(cyclic_row_permutation(N, n_dev, block_size))
+        K = K[perm]
+        y = y[perm]
+    return _sharded_nll(K, y, jnp.asarray(noise, K.dtype), mesh, block_size, cyclic)

@@ -104,3 +104,35 @@ def test_shape_validation(problem):
         sharded_gpr_nll(K[:500, :500], Y[:500], 0.05, m, block_size=32)
     with pytest.raises(ValueError):
         sharded_gpr_nll(K, Y, 0.05, m, block_size=48)  # 48 does not divide 64
+
+
+def test_cyclic_layout_matches_dense(problem):
+    """1-D block-cyclic row ownership: same NLL as dense/contiguous."""
+    model, K, X, Y = problem
+    m = mesh_mod.make_mesh()
+    want = float(gpr.neg_log_marginal_likelihood(model, X, Y))
+    for nb in (16, 32, 64):
+        got = float(sharded_gpr_nll(K, Y, 0.05, m, block_size=nb, layout="cyclic"))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_cyclic_layout_grads_match_dense(problem):
+    model, K, X, Y = problem
+    m = mesh_mod.make_mesh()
+    noise = jnp.asarray(0.05, K.dtype)
+    gK, gY, gn = jax.grad(
+        lambda K, Y, s: sharded_gpr_nll(K, Y, s, m, block_size=32, layout="cyclic"),
+        argnums=(0, 1, 2),
+    )(K, Y, noise)
+    wK, wY, wn = jax.grad(_dense_nll, argnums=(0, 1, 2))(K, Y, noise)
+    np.testing.assert_allclose(np.asarray(gK), np.asarray(wK), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gY), np.asarray(wY), rtol=1e-8)
+    np.testing.assert_allclose(float(gn), float(wn), rtol=1e-8)
+
+
+def test_cyclic_permutation_is_permutation():
+    from portfoliooptgp_tpu.parallel.dist_cholesky import cyclic_row_permutation
+    perm = cyclic_row_permutation(512, 8, 32)
+    assert sorted(perm.tolist()) == list(range(512))
+    # device 0's first block is global block 0; device 1's is global block 1
+    assert perm[0] == 0 and perm[64] == 32
