@@ -75,7 +75,11 @@ def _nll_kernel(A_ref, y_ref, L_ref, a_ref, logdet_ref, *, n, b_tile):
             # value slicing must go through slice_in_dim: python [off:] on a
             # transposed value lowers to an unsupported Mosaic gather
             mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
-            L_ref[off:, :, :] = L_ref[off:, :, :] - mT * m[None, :, :]
+            # rows <= i never change either (m is masked), so lanes below the
+            # 128-aligned r0 are skipped too
+            r0 = (off // 128) * 128
+            m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
+            L_ref[off:, :, r0:] = L_ref[off:, :, r0:] - mT * m_tail[None, :, :]
             L_ref[i, :, :] = m + d * onehot
             # fused forward substitution on y: a_i = a[.,i]/d; a -= m * a_i
             ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
@@ -125,13 +129,19 @@ def _nll_inv_kernel(A_ref, y_ref, W_ref, a_ref, logdet_ref, L_s, *, n, b_tile):
             m = col * below / d  # (b, n): strictly-below L column, scaled
             mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
             mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
+            # two-sided static slicing (128-aligned): factor rows <= i never
+            # change; W columns beyond the panel end are still zero
+            r0 = (off // 128) * 128
+            c1 = min(-(-(off + PANEL) // 128) * 128, n)
+            m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
             # factor trailing update (columns >= off); column i of L is never
             # re-read, so it is not stored at all
-            L_s[off:, :, :] = L_s[off:, :, :] - mT * m[None, :, :]
+            L_s[off:, :, r0:] = L_s[off:, :, r0:] - mT * m_tail[None, :, :]
             # inverse: row i of W scales by 1/d, rows > i get the rank-1
             Wi = W_ref[i] / d  # (b, n)
             W_ref[i, :, :] = Wi
-            W_ref[off:, :, :] = W_ref[off:, :, :] - mT * Wi[None, :, :]
+            Wi_head = jax.lax.slice_in_dim(Wi, 0, c1, axis=1)
+            W_ref[off:, :, :c1] = W_ref[off:, :, :c1] - mT * Wi_head[None, :, :]
             # row i is in [off:] but m[b, i] = 0 keeps it intact
             # fused forward substitution on y
             ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)

@@ -101,7 +101,17 @@ def _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family):
 
 
 def _chol_body(L_s, W_ref, lanes, dtype, off):
-    """One column step factory shared by the primal and inverse kernels."""
+    """One column step factory shared by the primal and inverse kernels.
+
+    Two-sided static slicing of the rank-1 updates (all 128-aligned):
+    - factor: rows ≤ i never change (m is masked), so lanes below
+      r0 = ⌊off/128⌋·128 are skipped;
+    - inverse: row i of W has zero columns beyond i, so lanes above
+      c1 = ⌈(off+PANEL)/128⌉·128 are skipped.
+    """
+    n = L_s.shape[0]
+    r0 = (off // 128) * 128
+    c1 = min(-(-(off + PANEL) // 128) * 128, n)
 
     def body(j, carry):
         a, logdet = carry
@@ -113,13 +123,15 @@ def _chol_body(L_s, W_ref, lanes, dtype, off):
         below = (lanes > i).astype(dtype)
         m = col * below / d
         mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]
-        mT = jax.lax.slice_in_dim(mT_full, off, L_s.shape[0], axis=0)
-        L_s[off:, :, :] = L_s[off:, :, :] - mT * m[None, :, :]
+        mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
+        m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
+        L_s[off:, :, r0:] = L_s[off:, :, r0:] - mT * m_tail[None, :, :]
         if W_ref is not None:
             dinv = 1.0 / d
             Wi = W_ref[i] * dinv
             W_ref[i, :, :] = Wi
-            W_ref[off:, :, :] = W_ref[off:, :, :] - mT * Wi[None, :, :]
+            Wi_head = jax.lax.slice_in_dim(Wi, 0, c1, axis=1)
+            W_ref[off:, :, :c1] = W_ref[off:, :, :c1] - mT * Wi_head[None, :, :]
         ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
         ai = ai_orig / d
         a = a - m * ai + (ai - ai_orig) * onehot
