@@ -63,21 +63,28 @@ def logdensity(m):
 
 NW, NS, NC = 100, 200, 8
 
-@jax.jit
-def run(key):
-    samples, stats = sample_nuts(logdensity, m0, key, num_warmup=NW,
-                                 num_samples=NS, num_chains=NC, max_depth=8)
-    return jax.tree.leaves(samples)[0], stats.accept_prob.mean()
+from portfoliooptgp_tpu.inference.fused_logdensity import gpr_logdensity_pair
+fused_logp, fused_grad = gpr_logdensity_pair(Xg, Yg)
 
-key = jax.random.key(0)
-s0, acc = run(key)
-_ = np.asarray(s0)
-times = []
-for i in range(3):
-    t0 = time.perf_counter()
-    s, acc = run(jax.random.key(i + 1))
-    _ = np.asarray(s)
-    times.append(time.perf_counter() - t0)
-total_draws = NC * (NW + NS)
-print(f"NUTS draws/s (N={Ng} GPR posterior, {NC} chains, depth<=8): "
-      f"{total_draws/min(times):,.0f}  (mean accept {float(acc):.2f})")
+def measure(name, logp, grad):
+    @jax.jit
+    def run(key):
+        samples, stats = sample_nuts(logp, m0, key, num_warmup=NW,
+                                     num_samples=NS, num_chains=NC,
+                                     max_depth=8, grad_fn=grad)
+        return jax.tree.leaves(samples)[0], stats.accept_prob.mean()
+
+    s0, acc = run(jax.random.key(0))
+    _ = np.asarray(s0)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        s, acc = run(jax.random.key(i + 1))
+        _ = np.asarray(s)
+        times.append(time.perf_counter() - t0)
+    total_draws = NC * (NW + NS)
+    print(f"NUTS draws/s [{name}] (N={Ng} GPR posterior, {NC} chains, depth<=8): "
+          f"{total_draws/min(times):,.0f}  (mean accept {float(acc):.2f})")
+
+measure("vmapped XLA", logdensity, None)
+measure("fused pallas logdensity", fused_logp, fused_grad)

@@ -32,7 +32,11 @@ class DualAveragingState(NamedTuple):
 
 
 def da_init(step_size: float) -> DualAveragingState:
-    ss = jnp.asarray(step_size, dtype=jnp.result_type(float))
+    # preserve an array step size's dtype (f32 chains under x64 must not be
+    # promoted — the step size multiplies positions in the leapfrog)
+    ss = jnp.asarray(step_size)
+    if not jnp.issubdtype(ss.dtype, jnp.floating):
+        ss = ss.astype(jnp.result_type(float))
     return DualAveragingState(
         log_step=jnp.log(ss),
         log_step_avg=jnp.log(ss),

@@ -36,8 +36,9 @@ def _warmup_and_sample_flat(
     max_depth: int,
     target_accept: float,
     axis_name: Optional[str],
+    grad_fn: Optional[Callable] = None,
 ):
-    grad_fn = jax.grad(logp_fn)
+    grad_fn = grad_fn if grad_fn is not None else jax.grad(logp_fn)
     dtype = q0.dtype
     dim = q0.shape[0]
 
@@ -112,8 +113,13 @@ def sample_nuts(
     max_depth: int = 10,
     target_accept: float = 0.8,
     axis_name: Optional[str] = None,
+    grad_fn: Optional[Callable] = None,
 ):
     """Sample a pytree-parameter posterior with multi-chain NUTS.
+
+    `grad_fn` (pytree → pytree, optional) overrides jax.grad(logdensity_fn):
+    pass the pair from `inference.fused_logdensity.gpr_logdensity_pair` to
+    evaluate all chains' leapfrogs in one fused Pallas NLL call each.
 
     Returns (samples_pytree with leading axes [chain, draw], SampleStats).
     """
@@ -122,13 +128,18 @@ def sample_nuts(
     def logp_flat(z):
         return logdensity_fn(unravel(z))
 
+    grad_flat = None
+    if grad_fn is not None:
+        def grad_flat(z):
+            return ravel_pytree(grad_fn(unravel(z)))[0]
+
     def one_chain(key):
         key, k_init = jax.random.split(key)
         # jitter chain inits around the provided point
         q0 = flat0 + 0.1 * jax.random.normal(k_init, flat0.shape, dtype=flat0.dtype)
         return _warmup_and_sample_flat(
             logp_flat, q0, key, num_warmup, num_samples, max_depth,
-            target_accept, axis_name,
+            target_accept, axis_name, grad_fn=grad_flat,
         )
 
     keys = jax.random.split(key, num_chains)
