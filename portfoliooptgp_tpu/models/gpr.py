@@ -124,6 +124,58 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
     )
 
 
+def fused_stationary_spec(stacked_model, X):
+    """Eligibility + operands for the fused stationary Pallas NLL paths.
+
+    Returns (families, d2s, variances, lengthscales) — tuples over the 1 or 2
+    stationary factors — or None if the model's kernel is not a single
+    isotropic stationary kernel (scalar ℓ) or a 2-factor product of them on
+    column slices (the multi-input composite, Multi-Input_GPR/main.py:
+    118-135). d2 matrices are unit-lengthscale squared distances on each
+    factor's active dims, shared across the whole batch.
+    """
+    import jax
+
+    from portfoliooptgp_tpu.kernels import stationary as st_kernels
+    from portfoliooptgp_tpu.kernels.base import Product
+
+    FAMILY_OF = {
+        st_kernels.SquaredExponential: "se",
+        st_kernels.Matern12: "matern12",
+        st_kernels.Matern32: "matern32",
+        st_kernels.Matern52: "matern52",
+    }
+    kern = stacked_model.kernel
+    one = jnp.ones((), X.dtype)
+
+    fam = FAMILY_OF.get(type(kern))
+    if (fam is not None and getattr(kern, "active_dims", None) is None
+            and jnp.ndim(kern.raw_lengthscales) == 1):
+        d2 = st_kernels.scaled_squared_distance(X, X, one)
+        v = jax.vmap(lambda m: m.kernel.variance)(stacked_model)
+        ell = jax.vmap(lambda m: m.kernel.lengthscales)(stacked_model)
+        return (fam,), (d2,), (v,), (ell,)
+
+    if (isinstance(kern, Product) and len(kern.terms) == 2
+            and all(type(t) in FAMILY_OF for t in kern.terms)
+            and all(jnp.ndim(t.raw_lengthscales) == 1 for t in kern.terms)):
+        fams = tuple(FAMILY_OF[type(t)] for t in kern.terms)
+        d2s = tuple(
+            st_kernels.scaled_squared_distance(t.slice_x(X), t.slice_x(X), one)
+            for t in kern.terms
+        )
+        vs = tuple(
+            jax.vmap(lambda m, j=j: m.kernel.terms[j].variance)(stacked_model)
+            for j in range(2)
+        )
+        ells = tuple(
+            jax.vmap(lambda m, j=j: m.kernel.terms[j].lengthscales)(stacked_model)
+            for j in range(2)
+        )
+        return fams, d2s, vs, ells
+    return None
+
+
 def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
     primitive. With `fast=True` and float32 inputs the batch is routed by N:
@@ -158,23 +210,17 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     from portfoliooptgp_tpu.kernels import stationary as st_kernels
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
-    kern = stacked_model.kernel
-    fam = {
-        st_kernels.SquaredExponential: "se",
-        st_kernels.Matern12: "matern12",
-        st_kernels.Matern32: "matern32",
-        st_kernels.Matern52: "matern52",
-    }.get(type(kern))
-    if (
-        fam is not None
-        and getattr(kern, "active_dims", None) is None
-        and jnp.ndim(kern.raw_lengthscales) == 1  # scalar ℓ per stacked model
-        and nll_mod.pallas_nll_supported(n)
-    ):
-        d2 = st_kernels.scaled_squared_distance(X, X, jnp.ones((), X.dtype))
-        v = jax.vmap(lambda m: m.kernel.variance)(stacked_model)
-        ell = jax.vmap(lambda m: m.kernel.lengthscales)(stacked_model)
-        return st_mod.batched_nll_stationary(d2, err, v, ell, noise, fam)
+    spec = fused_stationary_spec(stacked_model, X)
+    if spec is not None and nll_mod.pallas_nll_supported(n):
+        fams, d2s, vs, ells = spec
+        if len(fams) == 1:
+            return st_mod.batched_nll_stationary(
+                d2s[0], err, vs[0], ells[0], noise, fams[0]
+            )
+        mask = jnp.ones((err.shape[0], n), X.dtype)
+        return st_mod.batched_nll_stationary_general(
+            fams, d2s, err, vs, ells, noise, mask
+        )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     if nll_mod.pallas_nll_supported(n):

@@ -260,6 +260,202 @@ def stationary_nll_supported(kernel_type_name: str, n: int) -> bool:
             and n + ((-n) % 128) <= MAX_PALLAS_N)
 
 
+# ---------------------------------------------------------------------------
+# Generalized variant: J ∈ {1, 2} stationary factors (product kernel over
+# disjoint active_dims, Multi-Input_GPR/main.py:118-135) and a per-model row
+# MASK — the walk-forward pad-and-mask system (pipelines/walk_forward.py):
+#     A = (m⊗m) ∘ Π_j v_j φ_j(s_j d2_j) + diag(m σ² + (1−m))
+# Masked-out rows are exact identity rows (diag 1, zero elsewhere), so
+# padding needs no _FAR trick here: padded rows just carry mask 0.
+# ---------------------------------------------------------------------------
+
+
+def _build_general(D_refs, v_refs, s_refs, nz_ref, mask_ref, n, b_tile,
+                   dtype, families):
+    E = None
+    for D_ref, v_ref, s_ref, fam in zip(D_refs, v_refs, s_refs, families):
+        D = D_ref[...].reshape(n, 1, n)
+        term = _scal(v_ref) * _phi(fam, _scal(s_ref) * D)
+        E = term if E is None else E * term
+    m = mask_ref[...]  # (b, n)
+    mT = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1) over columns
+    nz = _scal(nz_ref)[0]  # (b, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
+    eye = (rows == cols).astype(dtype)
+    diag_vals = m * nz + (1.0 - m)  # (b, n)
+    return mT * m[None, :, :] * E + eye * diag_vals[None, :, :]
+
+
+def _stg_kernel(*refs, n, b_tile, families, with_inverse):
+    """Positional refs: D_0..D_{J-1}, y, v_0..v_{J-1}, s_0..s_{J-1}, nz,
+    mask, [W_out], a_out, logdet_out, L_scratch."""
+    J = len(families)
+    D_refs = refs[:J]
+    y_ref = refs[J]
+    v_refs = refs[J + 1:2 * J + 1]
+    s_refs = refs[2 * J + 1:3 * J + 1]
+    nz_ref = refs[3 * J + 1]
+    mask_ref = refs[3 * J + 2]
+    k = 3 * J + 3
+    if with_inverse:
+        W_ref, a_ref, logdet_ref, L_s = refs[k:k + 4]
+    else:
+        a_ref, logdet_ref, L_s = refs[k:k + 3]
+        W_ref = None
+    dtype = y_ref.dtype
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    L_s[...] = _build_general(D_refs, v_refs, s_refs, nz_ref, mask_ref,
+                              n, b_tile, dtype, families)
+    if with_inverse:
+        eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
+        eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
+        W_ref[...] = jnp.broadcast_to(
+            (eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
+    carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
+    for off in range(0, n, PANEL):
+        carry = jax.lax.fori_loop(
+            0, min(PANEL, n - off), _chol_body(L_s, W_ref, lanes, dtype, off), carry
+        )
+    a, logdet = carry
+    a_ref[...] = a
+    logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
+
+
+def _prep_general(d2s, err, vs, ls, noise, mask):
+    B, N = err.shape
+    dtype = err.dtype
+    Np = N + ((-N) % 128)
+    if Np != N:
+        pad = Np - N
+        d2s = tuple(jnp.pad(d, ((0, pad), (0, pad))) for d in d2s)
+        err = _pad(err, 1, 128)
+        mask = _pad(mask, 1, 128)  # zero mask on padded rows → identity rows
+    Bp = B + ((-B) % 8)
+    if Bp != B:
+        err = _pad(err, 0, 8)
+        mask = _pad(mask, 0, 8)
+        one = jnp.ones((Bp - B,), dtype)
+        vs = tuple(jnp.concatenate([v, one]) for v in vs)
+        ls = tuple(jnp.concatenate([l, one]) for l in ls)
+        noise = jnp.concatenate([noise, one])
+    return d2s, err, vs, ls, noise, mask, Np, Bp
+
+
+def _call_general(families, with_inverse, d2s, err, vs, ss, noise, mask,
+                  interpret):
+    B, N = err.shape
+    dtype = err.dtype
+    d2s, errp, vs, ss, nzp, maskp, Np, Bp = _prep_general(
+        d2s, err, vs, ss, noise, mask)
+    J = len(families)
+    b_tile = 8
+    grid = (Bp // b_tile,)
+    dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = ([dspec] * J + [rowspec] + [scalar_spec] * (2 * J + 1) + [rowspec])
+    outs = [rowspec,
+            pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((Bp, Np), dtype),
+                  jax.ShapeDtypeStruct((Bp, 128), dtype)]
+    if with_inverse:
+        outs = [pl.BlockSpec((Np, b_tile, Np), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)] + outs
+        out_shapes = [jax.ShapeDtypeStruct((Np, Bp, Np), dtype)] + out_shapes
+    operands = (list(d2s) + [errp]
+                + [_scal_blocks(v, Bp) for v in vs]
+                + [_scal_blocks(s, Bp) for s in ss]
+                + [_scal_blocks(nzp, Bp), maskp])
+    res = pl.pallas_call(
+        functools.partial(_stg_kernel, n=Np, b_tile=b_tile, families=families,
+                          with_inverse=with_inverse),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=outs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
+        interpret=interpret,
+    )(*operands)
+    if with_inverse:
+        W, a, logdet = res
+    else:
+        a, logdet = res
+        W = None
+    quad = jnp.sum(a[:B, :N] * a[:B, :N], axis=-1)
+    # masked-out/padded columns contribute log(1) = 0 to logdet — no
+    # correction needed; the 2π constant uses the full unpadded N and the
+    # caller restates it for n_eff (pipelines/walk_forward.py:161)
+    nll = 0.5 * quad + logdet[:B, 0] + 0.5 * N * LOG2PI
+    return nll, W, a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def batched_nll_stationary_general(families, d2s, err, vs, ls, noise, mask):
+    """Masked / product generalization of `batched_nll_stationary`.
+
+    families: static tuple of 1 or 2 family names; d2s/vs/ls: matching tuples
+    of (N,N) unit-lengthscale distances (per factor, on that factor's active
+    dims) and (B,) constrained params; mask: (B, N) 1/0 prefix masks (the
+    walk-forward pad-and-mask system — rows with mask 0 are exact identity
+    rows). Returns (B,) NLLs with the 2π constant at full N; callers restate
+    it for the effective row count. The mask cotangent is defined as zero.
+    """
+    ss = tuple(1.0 / (l * l) for l in ls)
+    nll, _, _ = _call_general(families, False, tuple(d2s), err, tuple(vs),
+                              ss, noise, mask, _interpret_default())
+    return nll
+
+
+def _stg_fwd(families, d2s, err, vs, ls, noise, mask):
+    ss = tuple(1.0 / (l * l) for l in ls)
+    nll, W, a = _call_general(families, True, tuple(d2s), err, tuple(vs),
+                              ss, noise, mask, _interpret_default())
+    return nll, (tuple(d2s), err, tuple(vs), tuple(ls), noise, mask, W, a)
+
+
+def _stg_bwd(families, res, g):
+    d2s, err, vs, ls, noise, mask, W, a = res
+    B, N = err.shape
+    Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype)
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N], preferred_element_type=W.dtype)
+    dKbar = g[:, None, None] * 0.5 * (
+        Kinv - alpha[:, :, None] * alpha[:, None, :])
+    mm = mask[:, :, None] * mask[:, None, :]  # (B, N, N)
+    T = dKbar * mm
+    ss = [1.0 / (l * l) for l in ls]
+    us = [s[:, None, None] * d2[None] for s, d2 in zip(ss, d2s)]
+    phis = [_phi(fam, u) for fam, u in zip(families, us)]
+    P = 1.0
+    for v in vs:
+        P = P * v
+    E = phis[0] if len(phis) == 1 else phis[0] * phis[1]
+    TE = T * E
+    dvs, dls, dd2s = [], [], []
+    for j, fam in enumerate(families):
+        other = 1.0
+        for k2 in range(len(families)):
+            if k2 != j:
+                other = other * phis[k2]
+        dv_j = jnp.sum(T * other * phis[j], axis=(1, 2)) * (P / vs[j])
+        du_j = P[:, None, None] * T * _phi_prime(fam, us[j]) * other
+        ds_j = jnp.sum(du_j * d2s[j][None], axis=(1, 2))
+        dl_j = ds_j * (-2.0 / (ls[j] ** 3))
+        dd2_j = jnp.sum(ss[j][:, None, None] * du_j, axis=0)
+        dvs.append(dv_j)
+        dls.append(dl_j)
+        dd2s.append(dd2_j)
+    diag_dK = jnp.diagonal(dKbar, axis1=-2, axis2=-1)  # (B, N)
+    dnoise = jnp.sum(diag_dK * mask, axis=-1)
+    derr = g[:, None] * alpha
+    dmask = jnp.zeros_like(mask)  # documented: mask is structural, not diff'd
+    return tuple(dd2s), derr, tuple(dvs), tuple(dls), dnoise, dmask
+
+
+batched_nll_stationary_general.defvjp(_stg_fwd, _stg_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def batched_nll_stationary(d2, err, variance, lengthscale, noise, family):
     """NLL of B stationary-kernel GPR models sharing inputs.

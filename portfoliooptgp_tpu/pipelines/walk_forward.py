@@ -144,11 +144,32 @@ def batched_walk_forward(
     )
 
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
     use_fused = dtype == jnp.float32 and nll_mod.pallas_nll_supported(n_full)
     n_eff_dr = jnp.sum(masks_dr, axis=1)
+    spec_probe = (
+        gpr_mod.fused_stationary_spec(stacked, X_full) if use_fused else None
+    )
 
-    if use_fused:
+    if spec_probe is not None:
+        # fully-fused masked path: the kernel matrix is built in VMEM from
+        # the shared per-factor distance blocks and the day's prefix mask —
+        # no (B, N, N) masked K is ever materialized in HBM
+        def batched_loss(ms):
+            fams, d2s, vs, ells = gpr_mod.fused_stationary_spec(ms, X_full)
+            noise = jax.vmap(lambda m: m.likelihood.variance)(ms)
+            err = (
+                Y_full[None, :, 0]
+                - jax.vmap(lambda m: m.mean_function(X_full))(ms)[:, :, 0]
+            ) * masks_dr
+            nll = st_mod.batched_nll_stationary_general(
+                fams, d2s, err, vs, ells, noise, masks_dr
+            )
+            # the kernel's 2π constant uses the full N; restate it for n_eff
+            return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)
+
+    elif use_fused:
 
         def batched_loss(ms):
             Kb, errb = jax.vmap(
