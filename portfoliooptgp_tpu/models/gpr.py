@@ -127,12 +127,13 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
 def fused_stationary_spec(stacked_model, X):
     """Eligibility + operands for the fused stationary Pallas NLL paths.
 
-    Returns (families, d2s, variances, lengthscales) — tuples over the 1 or 2
-    stationary factors — or None if the model's kernel is not a single
-    isotropic stationary kernel (scalar ℓ) or a 2-factor product of them on
-    column slices (the multi-input composite, Multi-Input_GPR/main.py:
+    Returns (families, d2s, variances, lengthscales, alphas) — tuples over
+    the 1 or 2 stationary factors — or None if the model's kernel is not a
+    single isotropic stationary kernel (scalar ℓ) or a 2-factor product of
+    them on column slices (the multi-input composite, Multi-Input_GPR/main.py:
     118-135). d2 matrices are unit-lengthscale squared distances on each
-    factor's active dims, shared across the whole batch.
+    factor's active dims, shared across the whole batch. alphas carries the
+    RationalQuadratic exponent per 'rq' factor (ones elsewhere).
     """
     import jax
 
@@ -144,7 +145,17 @@ def fused_stationary_spec(stacked_model, X):
         st_kernels.Matern12: "matern12",
         st_kernels.Matern32: "matern32",
         st_kernels.Matern52: "matern52",
+        st_kernels.RationalQuadratic: "rq",
     }
+
+    def factor_alpha(get_term):
+        def f(m):
+            t = get_term(m)
+            if isinstance(t, st_kernels.RationalQuadratic):
+                return t.alpha
+            return jnp.ones((), X.dtype)
+        return jax.vmap(f)(stacked_model)
+
     kern = stacked_model.kernel
     one = jnp.ones((), X.dtype)
 
@@ -154,7 +165,8 @@ def fused_stationary_spec(stacked_model, X):
         d2 = st_kernels.scaled_squared_distance(X, X, one)
         v = jax.vmap(lambda m: m.kernel.variance)(stacked_model)
         ell = jax.vmap(lambda m: m.kernel.lengthscales)(stacked_model)
-        return (fam,), (d2,), (v,), (ell,)
+        al = factor_alpha(lambda m: m.kernel)
+        return (fam,), (d2,), (v,), (ell,), (al,)
 
     if (isinstance(kern, Product) and len(kern.terms) == 2
             and all(type(t) in FAMILY_OF for t in kern.terms)
@@ -172,7 +184,10 @@ def fused_stationary_spec(stacked_model, X):
             jax.vmap(lambda m, j=j: m.kernel.terms[j].lengthscales)(stacked_model)
             for j in range(2)
         )
-        return fams, d2s, vs, ells
+        als = tuple(
+            factor_alpha(lambda m, j=j: m.kernel.terms[j]) for j in range(2)
+        )
+        return fams, d2s, vs, ells, als
     return None
 
 
@@ -212,14 +227,14 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
 
     spec = fused_stationary_spec(stacked_model, X)
     if spec is not None and nll_mod.pallas_nll_supported(n):
-        fams, d2s, vs, ells = spec
-        if len(fams) == 1:
+        fams, d2s, vs, ells, als = spec
+        if len(fams) == 1 and fams[0] != "rq":
             return st_mod.batched_nll_stationary(
                 d2s[0], err, vs[0], ells[0], noise, fams[0]
             )
         mask = jnp.ones((err.shape[0], n), X.dtype)
         return st_mod.batched_nll_stationary_general(
-            fams, d2s, err, vs, ells, noise, mask
+            fams, d2s, err, vs, ells, als, noise, mask
         )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)

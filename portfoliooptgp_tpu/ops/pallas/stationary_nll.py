@@ -50,10 +50,16 @@ SQRT3 = 1.7320508075688772
 SQRT5 = 2.23606797749979
 
 
-def _phi(family: str, u):
-    """Pointwise stationary shape K/v = φ(u), u = r² (scaled)."""
+def _phi(family: str, u, alpha=None):
+    """Pointwise stationary shape K/v = φ(u), u = r² (scaled).
+
+    `alpha` (broadcastable to u) is only read by the RationalQuadratic
+    family: φ(u) = (1 + u/(2α))^{-α} (kernels/stationary.py:152-154,
+    gpflow.kernels.RationalQuadratic semantics)."""
     if family == "se":
         return jnp.exp(-0.5 * u)
+    if family == "rq":
+        return jnp.exp(-alpha * jnp.log1p(u / (2.0 * alpha)))
     r = jnp.sqrt(jnp.maximum(u, 0.0))
     if family == "matern12":
         return jnp.exp(-r)
@@ -64,10 +70,13 @@ def _phi(family: str, u):
     raise ValueError(f"unknown stationary family: {family}")
 
 
-def _phi_prime(family: str, u):
+def _phi_prime(family: str, u, alpha=None):
     """dφ/du, safe at u = 0 (masked where singular)."""
     if family == "se":
         return -0.5 * jnp.exp(-0.5 * u)
+    if family == "rq":
+        w = u / (2.0 * alpha)
+        return -0.5 * jnp.exp(-(alpha + 1.0) * jnp.log1p(w))
     r = jnp.sqrt(jnp.maximum(u, 1e-20))
     if family == "matern12":
         # singular at 0; the diagonal's ℓ-gradient is exactly 0, mask it
@@ -79,7 +88,16 @@ def _phi_prime(family: str, u):
     raise ValueError(f"unknown stationary family: {family}")
 
 
+def _phi_dalpha(family: str, u, alpha):
+    """dφ/dα; zero for the α-free families."""
+    if family != "rq":
+        return jnp.zeros_like(u)
+    w = u / (2.0 * alpha)
+    return _phi(family, u, alpha) * (w / (1.0 + w) - jnp.log1p(w))
+
+
 FAMILIES = ("se", "matern12", "matern32", "matern52")
+GENERAL_FAMILIES = FAMILIES + ("rq",)
 
 
 def _scal(ref):
@@ -270,12 +288,13 @@ def stationary_nll_supported(kernel_type_name: str, n: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _build_general(D_refs, v_refs, s_refs, nz_ref, mask_ref, n, b_tile,
-                   dtype, families):
+def _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref, mask_ref, n,
+                   b_tile, dtype, families):
     E = None
-    for D_ref, v_ref, s_ref, fam in zip(D_refs, v_refs, s_refs, families):
+    for D_ref, v_ref, s_ref, a_ref, fam in zip(D_refs, v_refs, s_refs,
+                                               a_refs, families):
         D = D_ref[...].reshape(n, 1, n)
-        term = _scal(v_ref) * _phi(fam, _scal(s_ref) * D)
+        term = _scal(v_ref) * _phi(fam, _scal(s_ref) * D, _scal(a_ref))
         E = term if E is None else E * term
     m = mask_ref[...]  # (b, n)
     mT = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1) over columns
@@ -288,16 +307,17 @@ def _build_general(D_refs, v_refs, s_refs, nz_ref, mask_ref, n, b_tile,
 
 
 def _stg_kernel(*refs, n, b_tile, families, with_inverse):
-    """Positional refs: D_0..D_{J-1}, y, v_0..v_{J-1}, s_0..s_{J-1}, nz,
-    mask, [W_out], a_out, logdet_out, L_scratch."""
+    """Positional refs: D_0..D_{J-1}, y, v_0..v_{J-1}, s_0..s_{J-1},
+    al_0..al_{J-1}, nz, mask, [W_out], a_out, logdet_out, L_scratch."""
     J = len(families)
     D_refs = refs[:J]
     y_ref = refs[J]
     v_refs = refs[J + 1:2 * J + 1]
     s_refs = refs[2 * J + 1:3 * J + 1]
-    nz_ref = refs[3 * J + 1]
-    mask_ref = refs[3 * J + 2]
-    k = 3 * J + 3
+    a_refs = refs[3 * J + 1:4 * J + 1]
+    nz_ref = refs[4 * J + 1]
+    mask_ref = refs[4 * J + 2]
+    k = 4 * J + 3
     if with_inverse:
         W_ref, a_ref, logdet_ref, L_s = refs[k:k + 4]
     else:
@@ -305,8 +325,8 @@ def _stg_kernel(*refs, n, b_tile, families, with_inverse):
         W_ref = None
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    L_s[...] = _build_general(D_refs, v_refs, s_refs, nz_ref, mask_ref,
-                              n, b_tile, dtype, families)
+    L_s[...] = _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref,
+                              mask_ref, n, b_tile, dtype, families)
     if with_inverse:
         eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
         eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
@@ -322,7 +342,7 @@ def _stg_kernel(*refs, n, b_tile, families, with_inverse):
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
 
-def _prep_general(d2s, err, vs, ls, noise, mask):
+def _prep_general(d2s, err, vs, ls, als, noise, mask):
     B, N = err.shape
     dtype = err.dtype
     Np = N + ((-N) % 128)
@@ -338,23 +358,24 @@ def _prep_general(d2s, err, vs, ls, noise, mask):
         one = jnp.ones((Bp - B,), dtype)
         vs = tuple(jnp.concatenate([v, one]) for v in vs)
         ls = tuple(jnp.concatenate([l, one]) for l in ls)
+        als = tuple(jnp.concatenate([a, one]) for a in als)
         noise = jnp.concatenate([noise, one])
-    return d2s, err, vs, ls, noise, mask, Np, Bp
+    return d2s, err, vs, ls, als, noise, mask, Np, Bp
 
 
-def _call_general(families, with_inverse, d2s, err, vs, ss, noise, mask,
+def _call_general(families, with_inverse, d2s, err, vs, ss, als, noise, mask,
                   interpret):
     B, N = err.shape
     dtype = err.dtype
-    d2s, errp, vs, ss, nzp, maskp, Np, Bp = _prep_general(
-        d2s, err, vs, ss, noise, mask)
+    d2s, errp, vs, ss, als, nzp, maskp, Np, Bp = _prep_general(
+        d2s, err, vs, ss, als, noise, mask)
     J = len(families)
     b_tile = 8
     grid = (Bp // b_tile,)
     dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    in_specs = ([dspec] * J + [rowspec] + [scalar_spec] * (2 * J + 1) + [rowspec])
+    in_specs = ([dspec] * J + [rowspec] + [scalar_spec] * (3 * J + 1) + [rowspec])
     outs = [rowspec,
             pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((Bp, Np), dtype),
@@ -366,6 +387,7 @@ def _call_general(families, with_inverse, d2s, err, vs, ss, noise, mask,
     operands = (list(d2s) + [errp]
                 + [_scal_blocks(v, Bp) for v in vs]
                 + [_scal_blocks(s, Bp) for s in ss]
+                + [_scal_blocks(a, Bp) for a in als]
                 + [_scal_blocks(nzp, Bp), maskp])
     res = pl.pallas_call(
         functools.partial(_stg_kernel, n=Np, b_tile=b_tile, families=families,
@@ -391,31 +413,37 @@ def _call_general(families, with_inverse, d2s, err, vs, ss, noise, mask,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def batched_nll_stationary_general(families, d2s, err, vs, ls, noise, mask):
+def batched_nll_stationary_general(families, d2s, err, vs, ls, als, noise,
+                                   mask):
     """Masked / product generalization of `batched_nll_stationary`.
 
-    families: static tuple of 1 or 2 family names; d2s/vs/ls: matching tuples
-    of (N,N) unit-lengthscale distances (per factor, on that factor's active
-    dims) and (B,) constrained params; mask: (B, N) 1/0 prefix masks (the
-    walk-forward pad-and-mask system — rows with mask 0 are exact identity
-    rows). Returns (B,) NLLs with the 2π constant at full N; callers restate
-    it for the effective row count. The mask cotangent is defined as zero.
+    families: static tuple of 1 or 2 family names (GENERAL_FAMILIES);
+    d2s/vs/ls/als: matching tuples of (N,N) unit-lengthscale distances (per
+    factor, on that factor's active dims) and (B,) constrained params (alpha
+    is read only by 'rq' factors — pass ones elsewhere); mask: (B, N) 1/0
+    prefix masks (the walk-forward pad-and-mask system — rows with mask 0
+    are exact identity rows). Returns (B,) NLLs with the 2π constant at full
+    N; callers restate it for the effective row count. The mask cotangent is
+    defined as zero.
     """
     ss = tuple(1.0 / (l * l) for l in ls)
     nll, _, _ = _call_general(families, False, tuple(d2s), err, tuple(vs),
-                              ss, noise, mask, _interpret_default())
+                              ss, tuple(als), noise, mask,
+                              _interpret_default())
     return nll
 
 
-def _stg_fwd(families, d2s, err, vs, ls, noise, mask):
+def _stg_fwd(families, d2s, err, vs, ls, als, noise, mask):
     ss = tuple(1.0 / (l * l) for l in ls)
     nll, W, a = _call_general(families, True, tuple(d2s), err, tuple(vs),
-                              ss, noise, mask, _interpret_default())
-    return nll, (tuple(d2s), err, tuple(vs), tuple(ls), noise, mask, W, a)
+                              ss, tuple(als), noise, mask,
+                              _interpret_default())
+    return nll, (tuple(d2s), err, tuple(vs), tuple(ls), tuple(als), noise,
+                 mask, W, a)
 
 
 def _stg_bwd(families, res, g):
-    d2s, err, vs, ls, noise, mask, W, a = res
+    d2s, err, vs, ls, als, noise, mask, W, a = res
     B, N = err.shape
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]
     Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype)
@@ -426,31 +454,37 @@ def _stg_bwd(families, res, g):
     T = dKbar * mm
     ss = [1.0 / (l * l) for l in ls]
     us = [s[:, None, None] * d2[None] for s, d2 in zip(ss, d2s)]
-    phis = [_phi(fam, u) for fam, u in zip(families, us)]
+    abc = [al[:, None, None] for al in als]
+    phis = [_phi(fam, u, ab) for fam, u, ab in zip(families, us, abc)]
     P = 1.0
     for v in vs:
         P = P * v
-    E = phis[0] if len(phis) == 1 else phis[0] * phis[1]
-    TE = T * E
-    dvs, dls, dd2s = [], [], []
+    dvs, dls, dals, dd2s = [], [], [], []
     for j, fam in enumerate(families):
         other = 1.0
         for k2 in range(len(families)):
             if k2 != j:
                 other = other * phis[k2]
         dv_j = jnp.sum(T * other * phis[j], axis=(1, 2)) * (P / vs[j])
-        du_j = P[:, None, None] * T * _phi_prime(fam, us[j]) * other
+        du_j = P[:, None, None] * T * _phi_prime(fam, us[j], abc[j]) * other
         ds_j = jnp.sum(du_j * d2s[j][None], axis=(1, 2))
         dl_j = ds_j * (-2.0 / (ls[j] ** 3))
         dd2_j = jnp.sum(ss[j][:, None, None] * du_j, axis=0)
+        if fam == "rq":
+            dal_j = jnp.sum(
+                P[:, None, None] * T * _phi_dalpha(fam, us[j], abc[j]) * other,
+                axis=(1, 2))
+        else:
+            dal_j = jnp.zeros_like(als[j])
         dvs.append(dv_j)
         dls.append(dl_j)
+        dals.append(dal_j)
         dd2s.append(dd2_j)
     diag_dK = jnp.diagonal(dKbar, axis1=-2, axis2=-1)  # (B, N)
     dnoise = jnp.sum(diag_dK * mask, axis=-1)
     derr = g[:, None] * alpha
     dmask = jnp.zeros_like(mask)  # documented: mask is structural, not diff'd
-    return tuple(dd2s), derr, tuple(dvs), tuple(dls), dnoise, dmask
+    return tuple(dd2s), derr, tuple(dvs), tuple(dls), tuple(dals), dnoise, dmask
 
 
 batched_nll_stationary_general.defvjp(_stg_fwd, _stg_bwd)

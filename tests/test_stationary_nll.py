@@ -157,10 +157,10 @@ def test_masked_general_matches_masked_nll():
     masks = jnp.asarray((np.arange(N)[None, :] < np.array([60, 90, 120])[:, None]),
                         jnp.float32)
 
-    fams, d2s, vs, ells = gpr.fused_stationary_spec(stacked, X)
+    fams, d2s, vs, ells, als = gpr.fused_stationary_spec(stacked, X)
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked)
     err = Y[None, :, 0] * masks
-    got = st.batched_nll_stationary_general(fams, d2s, err, vs, ells, noise, masks)
+    got = st.batched_nll_stationary_general(fams, d2s, err, vs, ells, als, noise, masks)
     # restate the 2π constant for the effective row counts
     n_eff = jnp.sum(masks, axis=1)
     got = got - 0.5 * (N - n_eff) * jnp.log(2.0 * jnp.pi)
@@ -169,11 +169,11 @@ def test_masked_general_matches_masked_nll():
 
     # gradients agree with autodiff through the dense masked system
     def loss_f(s):
-        fams2, d2s2, vs2, ells2 = gpr.fused_stationary_spec(s, X)
+        fams2, d2s2, vs2, ells2, als2 = gpr.fused_stationary_spec(s, X)
         nz = jax.vmap(lambda m: m.likelihood.variance)(s)
         e = Y[None, :, 0] * masks
         return jnp.sum(st.batched_nll_stationary_general(
-            fams2, d2s2, e, vs2, ells2, nz, masks))
+            fams2, d2s2, e, vs2, ells2, als2, nz, masks))
 
     def loss_r(s):
         return jnp.sum(jax.vmap(lambda m, msk: masked_nll(m, X, Y, msk))(s, masks))
@@ -198,6 +198,67 @@ def test_product_kernel_routes_fused():
     ms = [gpr.GPR.create(km.composite_kernel(D, km.SquaredExponential,
                                              km.SquaredExponential),
                          noise_variance=0.1 * v) for v in (0.5, 1.5, 2.0)]
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           lbfgs.stack_pytrees(ms))
+    fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+    ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-4)
+
+    gf = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    gr = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y, fast=False)))(stacked)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        scale = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=5e-3)
+
+
+def test_rational_quadratic_routes_fused():
+    """RQ models (GPR/main.py:108 menu) route through the general fused
+    path (alpha carried as a per-factor scalar), values and gradients —
+    including the alpha gradient."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    rng = np.random.default_rng(5)
+    N = 130
+    X = jnp.asarray(np.sort(rng.uniform(0, 30, (N, 1))), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+    ms = [gpr.GPR.create(
+        km.RationalQuadratic.create(variance=v, lengthscales=3.0, alpha=a),
+        noise_variance=0.2) for v, a in ((0.5, 0.7), (1.5, 2.5))]
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           lbfgs.stack_pytrees(ms))
+    fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+    ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-4)
+
+    gf = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    gr = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y, fast=False)))(stacked)
+    # raw_alpha gradient must flow (nonzero) and match autodiff
+    assert np.abs(np.asarray(gf.kernel.raw_alpha)).min() > 0
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_rq_product_composite_routes_fused():
+    """RQ × SE composite over column slices routes the 2-factor fused path."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.train import lbfgs
+
+    rng = np.random.default_rng(6)
+    N, D = 110, 3
+    X = jnp.asarray(rng.uniform(0, 20, (N, D)), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+    ms = [gpr.GPR.create(km.composite_kernel(D, km.RationalQuadratic,
+                                             km.SquaredExponential),
+                         noise_variance=0.1 * v) for v in (0.5, 1.5)]
     stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
                            lbfgs.stack_pytrees(ms))
     fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
