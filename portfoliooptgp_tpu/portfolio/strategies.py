@@ -63,11 +63,13 @@ class DynamicStrategy(Strategy):
     """Regime switch on the expected return under the previous weights
     (Strategies/dynamic_strategy.py:95-133):
 
-    - day 0: maximize returns under the volatility cap;
-    - if E[r_prev·w_prev] < E[r_pred·w_prev] (improving): minimize
-      uncertainty with floor E_B − E_A, then revert to the previous weights
-      if transaction costs eat the gain;
-    - else: maximize returns under the volatility cap.
+    - day 0 (mu_A is None): maximize returns under the volatility cap;
+    - if E[r_prev·w_prev] < E[r_pred·w_prev] (expected return improving
+      under the held weights): maximize returns under the volatility cap;
+    - else (E_A ≥ E_B, deteriorating): minimize uncertainty with floor
+      E_B − E_A, then revert to the previous weights if transaction costs
+      eat the (non-positive) gain — with B−A ≤ 0 and tx ≥ 0 the revert
+      fires whenever tx > 0, a reference quirk preserved verbatim.
     """
 
     def probability_a_greater_than_b_mvnorm(self, mu_a, cov_a, mu_b, cov_b, num_samples=10_000, seed=0):
@@ -96,13 +98,18 @@ class DynamicStrategy(Strategy):
         expected_B = float(mu_B @ prev)
 
         if expected_A < expected_B:
-            w = optimizer.minimize_uncertainty(expected_B - expected_A)
-            tx = float(np.sum(broker_fee * np.abs(w - prev)))
-            if expected_B - expected_A - tx > 0:
-                return w
-            optimizer.set_previous_weights(prev)
-            return prev
-        return optimizer.maximize_returns(max_volatility)
+            # Improving under held weights -> chase returns
+            # (dynamic_strategy.py:114-117).
+            return optimizer.maximize_returns(max_volatility)
+        # Deteriorating (A >= B) -> conservative: minimize uncertainty with
+        # floor E_B - E_A, then transaction-cost revert
+        # (dynamic_strategy.py:118-132).
+        w = optimizer.minimize_uncertainty(expected_B - expected_A)
+        tx = float(np.sum(broker_fee * np.abs(w - prev)))
+        if expected_B - expected_A - tx > 0:
+            return w
+        optimizer.set_previous_weights(prev)
+        return prev
 
 
 STRATEGY_REGISTRY = {

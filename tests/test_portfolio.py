@@ -163,6 +163,72 @@ def _make_portfolio(strategy_verbose=False):
     return p, preds, corr
 
 
+class _RecordingOptimizer:
+    """Stub that records which optimizer entry point the strategy fires."""
+
+    def __init__(self):
+        self.calls = []
+        self.n_assets = 5
+
+    def maximize_returns(self, max_volatility=None):
+        self.calls.append(("maximize_returns", max_volatility))
+        return np.full(5, 0.2)
+
+    def minimize_uncertainty(self, min_return=None):
+        self.calls.append(("minimize_uncertainty", min_return))
+        return np.array([0.4, 0.3, 0.1, 0.1, 0.1])
+
+    def set_previous_weights(self, w):
+        self.calls.append(("set_previous_weights", None))
+
+
+def test_dynamic_strategy_branch_mapping():
+    """Pin the regime-branch -> optimizer-call mapping to the reference
+    (Strategies/dynamic_strategy.py:95-133):
+      day 0             -> maximize_returns
+      E_A <  E_B        -> maximize_returns (improving: chase returns)
+      E_A >= E_B        -> minimize_uncertainty(E_B - E_A) + tx-cost revert
+    """
+    from portfoliooptgp_tpu.portfolio.strategies import DynamicStrategy
+
+    strat = DynamicStrategy()
+    prev = np.full(5, 0.2)
+    cov = np.eye(5) * 1e-4
+
+    # Day 0: mu_A is None -> maximize_returns.
+    opt = _RecordingOptimizer()
+    strat.optimize(opt, 0.02, 0.001, mu_A=None)
+    assert opt.calls[0][0] == "maximize_returns"
+
+    # Improving regime: E[mu_A . prev] < E[mu_B . prev] -> maximize_returns,
+    # no uncertainty solve, no revert.
+    opt = _RecordingOptimizer()
+    mu_a = np.full(5, 0.001)
+    mu_b = np.full(5, 0.010)
+    w = strat.optimize(opt, 0.02, 0.001, mu_A=mu_a, cov_A=cov, mu_B=mu_b,
+                       cov_B=cov, previous_weights=prev)
+    assert [c[0] for c in opt.calls] == ["maximize_returns"]
+    assert opt.calls[0][1] == 0.02  # volatility cap threaded through
+
+    # Deteriorating regime: E_A >= E_B -> minimize_uncertainty(E_B - E_A);
+    # with broker_fee > 0 and B - A <= 0 the tx revert always returns prev
+    # (reference quirk, dynamic_strategy.py:125-132).
+    opt = _RecordingOptimizer()
+    w = strat.optimize(opt, 0.02, 0.001, mu_A=mu_b, cov_A=cov, mu_B=mu_a,
+                       cov_B=cov, previous_weights=prev, broker_fee=0.001)
+    assert opt.calls[0][0] == "minimize_uncertainty"
+    np.testing.assert_allclose(opt.calls[0][1], float((mu_a - mu_b) @ prev))
+    np.testing.assert_allclose(w, prev)  # reverted
+
+    # Deteriorating with zero fee and E_A == E_B: realized = 0 - 0 = 0,
+    # not > 0 -> still reverts (strict inequality in the reference).
+    opt = _RecordingOptimizer()
+    w = strat.optimize(opt, 0.02, 0.001, mu_A=mu_a, cov_A=cov, mu_B=mu_a,
+                       cov_B=cov, previous_weights=prev, broker_fee=0.0)
+    assert opt.calls[0][0] == "minimize_uncertainty"
+    np.testing.assert_allclose(w, prev)
+
+
 @pytest.mark.parametrize("strategy", ["constant", "sharpe", "max_return", "min_volatility", "dynamic"])
 def test_evaluate_and_backtest_all_strategies(strategy):
     p, preds, corr = _make_portfolio()
