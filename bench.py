@@ -83,17 +83,27 @@ def bench_tpu():
 
     # The remote-execution tunnel memoizes identical (executable, inputs)
     # pairs and resolves block_until_ready on unmaterialized futures, so each
-    # rep must perturb the inputs AND pull the result to the host.
-    def perturbed(i):
-        return jax.tree.map(lambda p: p * (1.0 + 1e-7 * (i + 1)), stacked)
+    # rep must perturb the inputs AND pull the result to the host. The
+    # perturbed input ring is pre-built and device_put OUTSIDE the timed loop
+    # so host tree_map + H2D transfer don't bias the measurement (ADVICE r1).
+    # Ring must be larger than any possible rep count — cycling back to a
+    # previously-used input would hand the tunnel an identical
+    # (executable, input) pair to memoize. Each entry is a few KB of params.
+    RING = 512
+    ring = [
+        jax.device_put(jax.tree.map(lambda p: p * (1.0 + 1e-7 * (i + 1)), stacked))
+        for i in range(RING)
+    ]
+    for r in ring:
+        jax.block_until_ready(r)
 
     reps = 0
     t0 = time.perf_counter()
     while True:
-        vs = np.asarray(chain(perturbed(reps)))
+        vs = np.asarray(chain(ring[reps]))
         reps += 1
         dt = time.perf_counter() - t0
-        if dt > 3.0 and reps >= 3 or dt > MAXN_TIMING_S:
+        if dt > 3.0 and reps >= 3 or dt > MAXN_TIMING_S or reps >= RING:
             break
     return BATCH * STEPS * reps / dt
 

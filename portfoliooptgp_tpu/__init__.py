@@ -12,6 +12,17 @@ restarts/kernel menus are vmapped batch axes, and multi-chip scale-out uses
 `jax.sharding.Mesh` + collectives rather than process-level loops.
 """
 
+import jax as _jax
+
+# Parity-first precision stance: on TPU the default f32 matmul path feeds the
+# MXU bf16 inputs (one pass), which is ~1e-2 relative error — enough to break
+# PSD-ness in iterated Cholesky updates (observed: blocked_cholesky NaNs on a
+# real v5e at N>=512 while bit-fine on CPU). GP solves and their VJPs need
+# full f32 contractions, so the framework defaults every matmul to "highest"
+# (6-pass bf16 ~= true f32). Hot kernels that are provably tolerant may
+# override locally with an explicit precision= argument.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from portfoliooptgp_tpu import config as config
 from portfoliooptgp_tpu import kernels as kernels
 from portfoliooptgp_tpu import models as models

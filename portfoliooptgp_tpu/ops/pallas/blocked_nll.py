@@ -36,8 +36,12 @@ from portfoliooptgp_tpu.ops.pallas.nll import LOG2PI, _interpret_default, _pad
 
 PW = 128  # panel width (columns factored per Pallas call)
 
-# padded-N ceiling for the blocked path: panel blocks are (PW, 8, N) so VMEM
-# holds ~4·PW·8·N floats; 4096 keeps that under ~8 MB double-buffered
+# padded-N ceiling for the blocked path. One (PW=128, 8, N) f32 panel block
+# is 4·PW·8·N bytes = 16 MiB at N=4096 — the whole 16 MiB v5e VMEM, viable
+# only because the in/out alias folds to a single staged buffer under jit.
+# Hardware-verified on v5e (2026-08-18): value+grad at N∈{2048,3072,4096}
+# matches dense XLA to ~1e-6 relative. The *eager* (op-by-op) path OOMs
+# scoped VMEM at N=2048+, so callers must jit — every library path does.
 MAX_BLOCKED_N = 4096
 
 
@@ -121,10 +125,13 @@ def blocked_cholesky(Ks, interpret=None):
         if nt > PW:
             L21 = jax.lax.slice(Lp, (0, PW, 0), (B, nt, PW))  # (B, nt-PW, PW)
             trail = jax.lax.slice(work, (0, PW, PW), (B, nt, nt))
-            # the O(N³) syrk on the MXU (bf16 inputs would halve bandwidth
-            # but break parity; stay f32 with f32 accumulation)
+            # the O(N³) syrk on the MXU. precision= must be full f32: the
+            # TPU default (single bf16 pass) loses ~1e-2 per update, which
+            # compounds across panels until the trailing submatrix goes
+            # indefinite and the factor NaNs (observed on v5e at N>=512).
             work = trail - jnp.einsum(
-                "brk,bqk->brq", L21, L21, preferred_element_type=Ks.dtype
+                "brk,bqk->brq", L21, L21,
+                preferred_element_type=Ks.dtype, precision="highest",
             )
     return L, logdet
 
@@ -139,8 +146,15 @@ def _prep(K, y, noise):
         eye_tail = jnp.concatenate([jnp.zeros((N,), dtype), jnp.ones((Np - N,), dtype)])
         Ks = Ks + jnp.diag(eye_tail)[None]
         y = _pad(y, 1, 128)
-    Ks = _pad(Ks, 0, 8)
-    y = _pad(y, 0, 8)
+    # Pad the batch with identity matrices (not zeros): padded lanes then
+    # factor cleanly (chol(I)=I, logdet 0) instead of producing sqrt(0)=0,
+    # 0/0 NaNs that trip jax_debug_nans (ADVICE r1).
+    pb = (-B) % 8
+    if pb:
+        Ks = jnp.concatenate(
+            [Ks, jnp.broadcast_to(jnp.eye(Np, dtype=dtype), (pb, Np, Np))], axis=0
+        )
+        y = jnp.concatenate([y, jnp.zeros((pb, Np), dtype)], axis=0)
     return Ks, y
 
 
@@ -175,8 +189,10 @@ def _bwd(res, g):
     eye = jnp.broadcast_to(jnp.eye(Np, dtype=L.dtype), L.shape)
     W = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
     Wb = W[:B, :N, :N]
-    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=L.dtype)
-    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N], preferred_element_type=L.dtype)
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=L.dtype,
+                      precision="highest")
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N],
+                       preferred_element_type=L.dtype, precision="highest")
     dK = 0.5 * (Kinv - alpha[:, :, None] * alpha[:, None, :])
     dnoise = 0.5 * (
         jnp.trace(Kinv, axis1=-2, axis2=-1) - jnp.sum(alpha * alpha, axis=-1)

@@ -402,8 +402,8 @@ def _batched_nll_fwd(K, y, noise):
 def _batched_nll_bwd(res, g):
     W, a, N, B = res
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]  # (B, r, q)
-    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb)  # L⁻ᵀ L⁻¹
-    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N])  # Wᵀ a = Ks⁻¹ y
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, precision="highest")  # L⁻ᵀ L⁻¹
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N], precision="highest")  # Wᵀ a = Ks⁻¹ y
     dK = 0.5 * (Kinv - alpha[:, :, None] * alpha[:, None, :])
     dnoise = 0.5 * (
         jnp.trace(Kinv, axis1=-2, axis2=-1) - jnp.sum(alpha * alpha, axis=-1)

@@ -106,8 +106,13 @@ def _scal(ref):
     return jnp.swapaxes(v, 0, 1)[:, :, None]  # (1, b, 1)
 
 
-def _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family):
-    """A[c, b, r] = v_b φ(s_b d2[c, r]) + σ²_b δ_cr, built in VMEM."""
+def _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family, n_valid):
+    """A[c, b, r] = v_b φ(s_b d2[c, r]) + σ²_b δ_cr, built in VMEM.
+
+    Rows/cols ≥ n_valid (the 128-alignment padding) are exact identity
+    rows — mask-based, not exp-underflow-based, so the padded block is
+    inert for every lengthscale (ADVICE r1: _FAR relied on f32 underflow
+    and could couple padding to real rows at extreme ℓ)."""
     D = D_ref[...].reshape(n, 1, n)
     v = _scal(v_ref)
     s = _scal(s_ref)
@@ -115,7 +120,11 @@ def _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
     eye = (rows == cols).astype(dtype)
-    return v * _phi(family, s * D) + nz * eye
+    A = v * _phi(family, s * D) + nz * eye
+    if n_valid < n:
+        valid = ((rows < n_valid) & (cols < n_valid)).astype(dtype)
+        A = A * valid + eye * (1.0 - valid)
+    return A
 
 
 def _chol_body(L_s, W_ref, lanes, dtype, off):
@@ -160,11 +169,12 @@ def _chol_body(L_s, W_ref, lanes, dtype, off):
 
 
 def _st_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, a_ref, logdet_ref, L_s,
-               *, n, b_tile, family):
+               *, n, b_tile, family, n_valid):
     """Primal: build + factor + solve + logdet; nothing else leaves VMEM."""
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family)
+    L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family,
+                      n_valid)
     carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
     for off in range(0, n, PANEL):
         carry = jax.lax.fori_loop(
@@ -176,11 +186,12 @@ def _st_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, a_ref, logdet_ref, L_s,
 
 
 def _st_inv_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, W_ref, a_ref,
-                   logdet_ref, L_s, *, n, b_tile, family):
+                   logdet_ref, L_s, *, n, b_tile, family, n_valid):
     """VJP forward: additionally produces W = L⁻¹ in the same loop."""
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family)
+    L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family,
+                      n_valid)
     eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
     eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
     W_ref[...] = jnp.broadcast_to((eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
@@ -194,23 +205,15 @@ def _st_inv_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, W_ref, a_ref,
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
 
-# padding value for d2 rows/cols beyond N: far enough that φ underflows to
-# exactly 0 for every family and any plausible s, keeping the padded block
-# exactly (v+σ²)·I (whose known log-det is subtracted in closed form)
-_FAR = 1.0e12
-
-
 def _prep(d2, err, v, s, nz):
+    # Rows/cols beyond N become exact identity rows inside _build (mask on
+    # the static n_valid), so d2 just zero-pads.
     B, N = err.shape
     dtype = err.dtype
     Np = N + ((-N) % 128)
     if Np != N:
         pad = Np - N
-        d2 = jnp.pad(d2, ((0, pad), (0, pad)), constant_values=_FAR)
-        # padded diagonal must be 0 so the block is (v+σ²)I, not v·φ(FAR)+σ²
-        idx = jnp.arange(Np)
-        diag_mask = (idx[:, None] == idx[None, :]) & (idx[:, None] >= N)
-        d2 = jnp.where(diag_mask, 0.0, d2)
+        d2 = jnp.pad(d2, ((0, pad), (0, pad)))
         err = _pad(err, 1, 128)
     Bp = B + ((-B) % 8)
     if Bp != B:
@@ -252,7 +255,8 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
                              memory_space=pltpu.VMEM)] + outs
         out_shapes = [jax.ShapeDtypeStruct((Np, Bp, Np), dtype)] + out_shapes
     res = pl.pallas_call(
-        functools.partial(kernel_fn, n=Np, b_tile=b_tile, family=family),
+        functools.partial(kernel_fn, n=Np, b_tile=b_tile, family=family,
+                          n_valid=N),
         grid=grid,
         in_specs=in_specs,
         out_specs=outs,
@@ -266,16 +270,9 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
         a, logdet = res
         W = None
     quad = jnp.sum(a[:B, :N] * a[:B, :N], axis=-1)
-    # remove the padded block's exact contribution: (Np−N) columns of
-    # diag value sqrt(v+σ²) each
-    pad_ld = 0.5 * (Np - N) * jnp.log(v + nz)
-    nll = (0.5 * quad + logdet[:B, 0] - pad_ld + 0.5 * N * LOG2PI)
+    # padded rows are exact identity rows: zero logdet/quad contribution
+    nll = 0.5 * quad + logdet[:B, 0] + 0.5 * N * LOG2PI
     return nll, W, a
-
-
-def stationary_nll_supported(kernel_type_name: str, n: int) -> bool:
-    return (kernel_type_name.lower() in FAMILIES
-            and n + ((-n) % 128) <= MAX_PALLAS_N)
 
 
 # ---------------------------------------------------------------------------
@@ -446,8 +443,10 @@ def _stg_bwd(families, res, g):
     d2s, err, vs, ls, als, noise, mask, W, a = res
     B, N = err.shape
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]
-    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype)
-    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N], preferred_element_type=W.dtype)
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype,
+                      precision="highest")
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N],
+                       preferred_element_type=W.dtype, precision="highest")
     dKbar = g[:, None, None] * 0.5 * (
         Kinv - alpha[:, :, None] * alpha[:, None, :])
     mm = mask[:, :, None] * mask[:, None, :]  # (B, N, N)
@@ -516,8 +515,10 @@ def _st_bwd(family, res, g):
     d2, err, v, l, nz, W, a = res
     B, N = err.shape
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]  # (B, r, q) rows of L⁻¹
-    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype)
-    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N], preferred_element_type=W.dtype)
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype,
+                      precision="highest")
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N],
+                       preferred_element_type=W.dtype, precision="highest")
     dKbar = g[:, None, None] * 0.5 * (
         Kinv - alpha[:, :, None] * alpha[:, None, :]
     )  # (B, N, N)

@@ -26,3 +26,107 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Fast-by-default tiering: `pytest -q` finishes in <2 min; the full suite
+# (~21 min on this host) is opt-in via `pytest --slow`. Every test measured
+# >5 s on the dev host (pytest --durations) is listed here; tests may also
+# self-mark with @pytest.mark.slow. Base names (parametrize suffix stripped).
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    # walk-forward
+    "test_batched_walk_forward_matches_sequential",
+    "test_walk_forward_fused_f32_path",
+    "test_walk_forward_warm_start_matches_cold",
+    # parallel / sharding
+    "test_sharded_gradients_match",
+    "test_sharded_elbo_with_padding",
+    "test_sharded_elbo_matches_single_device",
+    "test_restart_axis_sharding",
+    # pipelines
+    "test_multi_input_step_4_walk_forward",
+    "test_single_asset_pipeline",
+    "test_multi_input_step_2_removal",
+    "test_multi_input_step_3_horizon",
+    # NUTS / fused logdensity
+    "test_sample_nuts_with_fused_pair_runs",
+    "test_scalar_and_vmapped_match_dense",
+    "test_nuts_gpr_hyperposterior_smoke",
+    "test_nuts_recovers_correlated_gaussian",
+    "test_nuts_scale_mismatch_mass_adaptation",
+    "test_nuts_handles_nan_regions",
+    # iterative / iterator
+    "test_nll_cg_gradients_match_dense",
+    "test_minibatched_svgp_training_reduces_elbo",
+    # SVGP / sparse
+    "test_svgp_menu_selects_sensible_kernel",
+    "test_train_svgp_improves_elbo",
+    "test_svgp_elbo_below_lml_and_trains",
+    "test_vgp_gaussian_matches_exact_gpr",
+    "test_vgp_studentt_elbo_finite_and_improves",
+    "test_svgp_minibatch_unbiased",
+    "test_svgp_predict_full_cov_consistent",
+    # trainers
+    "test_train_likelihood_restart_selection",
+    "test_gpr_mle_matches_scipy",
+    "test_train_best_model_menu",
+    "test_frozen_leaves_stay_fixed",
+    "test_fused_gpr_restarts_match_vmapped",
+    "test_one_natgrad_step_is_exact_for_gaussian",
+    "test_natgrad_beats_many_adam_steps",
+    # Pallas NLL kernels
+    "test_rational_quadratic_routes_fused",
+    "test_product_kernel_routes_fused",
+    "test_rq_product_composite_routes_fused",
+    "test_gpr_dispatch_uses_fused_stationary",
+    "test_masked_general_matches_masked_nll",
+    "test_grads_match_xla",
+    "test_matern_menu_kernels_route_fused",
+    "test_value_matches_xla",
+    "test_fused_nll_gradients_match",
+    "test_fused_nll_nonaligned_shapes",
+    "test_fused_nll_matches_reference",
+    # ICM / frontier
+    "test_icm_trains_and_recovers_correlation",
+    "test_efficient_frontier_properties",
+    "test_posterior_asset_moments_psd",
+    "test_icm_predict_matches_dense",
+    # distributed Cholesky
+    "test_sharded_nll_trains_hyperparameters",
+    "test_sharded_nll_grads_match_dense",
+    "test_cyclic_layout_matches_dense",
+    "test_cyclic_layout_grads_match_dense",
+    "test_sharded_nll_various_blocks",
+    # portfolio / GPR
+    "test_evaluate_and_backtest_all_strategies",
+    "test_nll_grad_finite_and_vmappable",
+    "test_interpolation_at_tiny_noise",
+    # second pass (5-10s stragglers)
+    "test_multi_input_correlation_gating",
+    "test_matern_grad_finite_where_xla_nans",
+    "test_sgpr_with_all_inducing_matches_exact",
+    "test_logprior_is_added",
+    "test_sgpr_elbo_below_lml",
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run slow tests (full ~21-min suite)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: test takes >5s; skipped unless --slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow (>5s); opt in with --slow")
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in SLOW_TESTS or "slow" in item.keywords:
+            item.add_marker(skip)
