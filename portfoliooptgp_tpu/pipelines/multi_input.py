@@ -239,7 +239,16 @@ class MultiInputGPR:
         )
 
     # -- step 4: walk-forward retraining (main.py:356-459) ---------------
-    def run_step_4(self):
+    def run_step_4(self, batched: bool = True):
+        """Walk-forward daily retraining over the test window.
+
+        batched=True (default) trains every day's refit as ONE fused
+        batched L-BFGS via `pipelines.walk_forward.batched_walk_forward` —
+        the pad-and-mask system that replaces the reference's sequential
+        per-day loop (main.py:414-456). batched=False keeps the literal
+        day-by-day loop; both produce the same predictions up to optimizer
+        tolerance (tests/test_pipelines.py pins batched-vs-sequential).
+        """
         X, Y, _, _, _, kept = self._build_inputs(
             self.train_end_date, predict_Y_features=self.predict_Y
         )
@@ -251,6 +260,10 @@ class MultiInputGPR:
         )
         n_train, n_full = Y.shape[0], Yf.shape[0]
         yf_mean, yf_std = yf_stats
+        if batched:
+            return self._step_4_batched(
+                Xf, Yf, n_train, yf_mean, yf_std, np.asarray(Y)
+            )
         f_means, f_vars, actuals = [], [], []
         for i in range(n_train, n_full):
             model = self._train(Xf[:i], Yf[:i])
@@ -262,6 +275,44 @@ class MultiInputGPR:
         return StepPrediction(
             f_mean=np.asarray(f_means), f_var=np.asarray(f_vars),
             actual=np.asarray(actuals), Y_train=np.asarray(Y),
+        )
+
+    def _step_4_batched(self, Xf, Yf, n_train, yf_mean, yf_std, Y_train):
+        """All walk-forward days as one pad-and-mask batched training.
+
+        Only the LAST kernel pair is trained: the sequential loop trains the
+        whole menu but keeps the last model (main.py:419-430 last-wins
+        quirk), so the earlier pairs never influence the output.
+        """
+        from portfoliooptgp_tpu.pipelines.walk_forward import batched_walk_forward
+
+        k1, k2 = self.kernel_pairs[-1]
+
+        def make_model(noise_variance):
+            kern = composite_kernel(Xf.shape[1], k1, k2)
+            return GPR.create(kern, noise_variance=noise_variance)
+
+        if self.isFixed:
+            noise_inits = (self.noise_variance,)
+        else:
+            noise_inits = tuple(trainer.STARTING_VARIANCES)
+        res = batched_walk_forward(
+            Xf, Yf, n_train, make_model,
+            restart_noise_inits=noise_inits,
+            maxiter=self.maxiter,
+            train_likelihood_variance=not self.isFixed,
+        )
+        d = res.f_mean.shape[0]
+        for j in range(d):
+            self._log(
+                f"walk-forward day {j + 1}: "
+                f"f_mean={float(res.f_mean[j]) * yf_std + yf_mean:.5f}"
+            )
+        return StepPrediction(
+            f_mean=np.asarray(res.f_mean) * yf_std + yf_mean,
+            f_var=np.asarray(res.f_var) * yf_std**2,
+            actual=np.asarray(Yf[n_train:, 0]) * yf_std + yf_mean,
+            Y_train=Y_train,
         )
 
     # -- ARIMA baseline (main.py:462-477) --------------------------------

@@ -52,9 +52,13 @@ def train_model(model: GPR, X, Y, *, maxiter: int = 1000, train_likelihood_varia
     return TrainedModel(model=trained, loss=res.loss, mse=_mse(trained, X, Y), iters=res.iters)
 
 
+# reference restart grid over noise-variance inits (models/model_trainer.py:26)
+STARTING_VARIANCES: Sequence[float] = (1e-5, 1e-3, 1e-1, 1.0)
+
+
 def train_likelihood(
     X, Y, kernel,
-    starting_variances: Sequence[float] = (1e-5, 1e-3, 1e-1, 1.0),
+    starting_variances: Sequence[float] = STARTING_VARIANCES,
     *, maxiter: int = 1000, **fit_kw,
 ) -> TrainedModel:
     """Multi-restart over noise inits; winner = lowest final loss

@@ -46,6 +46,7 @@ SLOW_TESTS = {
     "test_restart_axis_sharding",
     # pipelines
     "test_multi_input_step_4_walk_forward",
+    "test_multi_input_step_4_batched_matches_sequential",
     "test_single_asset_pipeline",
     "test_multi_input_step_2_removal",
     "test_multi_input_step_3_horizon",

@@ -128,9 +128,21 @@ def test_multi_input_step_3_horizon(market):
 
 def test_multi_input_step_4_walk_forward(market):
     mi = make_mi(market, isFixedLikelihood=True)
-    pred = mi.run_step_4()
+    pred = mi.run_step_4()  # default path = batched pad-and-mask engine
     assert len(pred.f_mean) == len(pred.actual) == 5  # 5 test business days
     assert np.all(np.isfinite(pred.f_mean)) and np.all(pred.f_var >= 0)
+
+
+def test_multi_input_step_4_batched_matches_sequential(market):
+    """The flagship CLI path (batched) must reproduce the reference's
+    sequential retrain-per-day loop within optimizer tolerance
+    (Multi-Input_GPR/main.py:414-456)."""
+    mi = make_mi(market, isFixedLikelihood=True, maxiter=300)
+    pb = mi.run_step_4(batched=True)
+    ps = mi.run_step_4(batched=False)
+    np.testing.assert_allclose(pb.actual, ps.actual, rtol=0, atol=0)
+    np.testing.assert_allclose(pb.f_mean, ps.f_mean, rtol=0.05, atol=5e-4)
+    np.testing.assert_allclose(pb.f_var, ps.f_var, rtol=0.2, atol=1e-6)
 
 
 def test_arima_fit_forecast():
