@@ -70,6 +70,7 @@ class StockPredictor:
         noise_variance: float = 1e-5,
         horizon_days: int = 30,
         plot_fn: Optional[Callable] = None,
+        mean_function=None,
     ):
         self.tickers = list(tickers)
         self.data_handler = DataHandler(
@@ -83,6 +84,9 @@ class StockPredictor:
         self.noise_variance = noise_variance
         self.horizon_days = horizon_days
         self.plot_fn = plot_fn
+        # script workloads train with non-zero mean functions — Polynomial(2)
+        # at test_scripts/GPR.py:103, Linear at test_scripts/GPFlow.py:186-205
+        self.mean_function = mean_function
 
     def _train_timeframe(self, ticker: str, timeframe: str) -> TimeframeResult:
         X, Y, dates, y_stats, _ = self.data_handler.process_data(
@@ -90,7 +94,8 @@ class StockPredictor:
         )
         menu = self.kernel_menu_fn()
         res = trainer.train_best_model(
-            X, Y, menu, noise_variance=self.noise_variance, maxiter=self.maxiter
+            X, Y, menu, noise_variance=self.noise_variance, maxiter=self.maxiter,
+            mean_function=self.mean_function,
         )
         return TimeframeResult(
             X=X, Y=Y, dates=dates, y_stats=y_stats,

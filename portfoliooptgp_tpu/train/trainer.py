@@ -59,13 +59,16 @@ STARTING_VARIANCES: Sequence[float] = (1e-5, 1e-3, 1e-1, 1.0)
 def train_likelihood(
     X, Y, kernel,
     starting_variances: Sequence[float] = STARTING_VARIANCES,
-    *, maxiter: int = 1000, **fit_kw,
+    *, maxiter: int = 1000, mean_function=None, **fit_kw,
 ) -> TrainedModel:
     """Multi-restart over noise inits; winner = lowest final loss
     (models/model_trainer.py:26-54). Restarts run as one vmapped batch; a
     diverged restart yields a non-finite loss and is masked out of the
     argmin rather than crashing the batch."""
-    models = [GPR.create(kernel, noise_variance=v) for v in starting_variances]
+    models = [
+        GPR.create(kernel, noise_variance=v, mean_function=mean_function)
+        for v in starting_variances
+    ]
     stacked = lbfgs.stack_pytrees(models)
     res = lbfgs.fit_batched(
         lambda m: gpr_mod.neg_log_marginal_likelihood(m, X, Y),
@@ -87,17 +90,24 @@ class MenuResult(NamedTuple):
 
 
 def train_best_model(
-    X, Y, kernel_menu, *, noise_variance: float = 1e-5, maxiter: int = 100, **fit_kw
+    X, Y, kernel_menu, *, noise_variance: float = 1e-5, maxiter: int = 100,
+    mean_function=None, **fit_kw
 ) -> MenuResult:
     """Kernel-menu selection by training MSE (GPR/model_trainer.py:10-26).
 
     The menu is a structural Python loop (different pytrees); jit caches one
     executable per kernel structure, so repeated calls (e.g. the reference's
     per-ticker × per-timeframe loops, GPR/main.py:23-37) pay compilation once.
+
+    `mean_function` is trained jointly with the kernel hyperparameters, as
+    gpflow does for the script workloads that pass Polynomial(2)/Linear mean
+    functions (test_scripts/GPR.py:103, test_scripts/GPFlow.py:186-205).
     """
     trained, losses, mses = [], [], []
     for kernel in kernel_menu:
-        model = GPR.create(kernel, noise_variance=noise_variance)
+        model = GPR.create(
+            kernel, noise_variance=noise_variance, mean_function=mean_function
+        )
         t = train_model(model, X, Y, maxiter=maxiter, **fit_kw)
         trained.append(t)
         losses.append(float(t.loss))

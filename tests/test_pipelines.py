@@ -89,6 +89,27 @@ def test_single_asset_pipeline(market):
     assert mse < 1.0  # well below the variance of z-scored targets
 
 
+def test_single_asset_pipeline_polynomial_mean(market):
+    """Mean functions thread through the pipeline and train jointly with the
+    kernel — the reference's script workload uses Polynomial(2)
+    (test_scripts/GPR.py:103)."""
+    from portfoliooptgp_tpu.kernels.means import PolynomialMean
+
+    sp = StockPredictor(
+        ["TGT"], data_root=market,
+        kernel_menu=[km.SquaredExponential.create()],
+        horizon_days=10, mean_function=PolynomialMean.create(degree=2), **DATES,
+    )
+    res = sp.run_ticker("TGT")
+    model = res.timeframes["d"].model
+    assert type(model.mean_function).__name__ == "PolynomialMean"
+    assert model.mean_function.degree == 2
+    # the polynomial weights must have moved off their init (trained jointly)
+    w0 = np.zeros(3); w0[0] = 1.0
+    assert not np.allclose(np.asarray(model.mean_function.w), w0)
+    assert np.all(np.isfinite(np.asarray(res.f_mean)))
+
+
 def make_mi(market, **kw):
     args = dict(
         ticker="TGT", features=["COR", "Brent_Oil", "RND"], data_root=market,
