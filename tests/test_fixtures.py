@@ -1,0 +1,84 @@
+"""Pinned-number fixtures for the reimplemented ARIMA and entropy diagnostics.
+
+The reference depends on statsmodels ARIMA (Multi-Input_GPR/models/arima.py:1-15)
+and the OrdinalEntroPy package (GPR/data_handler.py:46-53). Neither is
+installable in this image, so these fixtures are HAND-DERIVED on tiny series
+(committed literals, not recomputed math):
+
+Entropy — series x = [4, 7, 9, 10, 6, 11, 3], the worked example from
+Bandt & Pompe, "Permutation Entropy" (PRL 88, 174102, 2002), order=3, delay=1,
+classes=3. Ordinal patterns of the 5 windows: (012), (012), (120), (102),
+(120) → counts (2, 2, 1):
+  PE  unnormalized = -(2·(2/5)log2(2/5) + (1/5)log2(1/5)) = 1.5219 bits,
+      the number published in the paper; normalized by log2(3!) = 0.5887622.
+  RPE = (Σp² − 1/6)/(1 − 1/6) with Σp² = 9/25 → exactly 29/125 = 0.232.
+  WPE: window variances (population) are 38/9, 14/9, 26/9, 42/9, 98/9, so
+      weighted pattern probs are exactly (26/109, 62/109, 21/109);
+      WPE = -(Σ p log2 p)/log2 6 = 0.5469950.
+  DE: NCDF class symbols of x are [1,2,3,3,2,3,1] (mean 50/7, pop-std
+      ≈2.79942; the nearest-to-boundary mapping, 6 → 3Φ(−0.40825)+0.5 ≈ 1.525,
+      is 0.025 above the round-to-2 threshold). The 5 dispersion windows are
+      all distinct → DE = log2(5)/log2(27) = 0.4883245 exactly.
+  RDE = (1/5 − 1/27)/(1 − 1/27) = 11/65 = 0.1692308 exactly.
+  RWDE: same 5 distinct patterns weighted by the window variances above
+      → Σp² = (19² + 7² + 13² + 21² + 49²)/109² = 3421/11881;
+      RWDE = (3421/11881 − 1/27)·(27/26) = 80486/308906 = 0.2605518.
+
+ARIMA — differences z = [1, 0, 0, 0.125, 0.0625, 0, 0, 0.0078125] follow
+z_t = 0.5 z_{t-1} − 0.25 z_{t-2} + 0.125 z_{t-3} EXACTLY (no noise), and the
+5-row lag design is full-rank, so the CSS/OLS fit must recover
+φ = (0.5, −0.25, 0.125) to machine precision with σ² = 0. The 5-step AR
+recursion from (z8, z7, z6) = (0.0078125, 0, 0) gives increments
+(0.00390625, 0, 0, 0.00048828125, 0.000244140625) — all exact dyadic
+fractions — which integrate from the last level 11.1953125 to the pinned
+forecasts below.
+"""
+
+import numpy as np
+
+from portfoliooptgp_tpu.models import arima
+from portfoliooptgp_tpu.ops import entropy
+
+BP_SERIES = [4, 7, 9, 10, 6, 11, 3]  # Bandt & Pompe (2002) worked example
+
+
+def test_permutation_entropy_published_value():
+    # the paper states H(3) ≈ 1.5219 bits for this series
+    assert abs(entropy.PE(BP_SERIES, order=3, delay=1, normalize=False)
+               - 1.5219280948873621) < 1e-12
+
+
+def test_entropy_measures_pinned():
+    got = entropy.all_measures(BP_SERIES, order=3, classes=3, delay=1)
+    expected = {
+        "PE": 0.5887621559162939,    # 1.5219281/log2(6)
+        "RPE": 0.232,                 # exactly 29/125
+        "WPE": 0.5469950398591190,    # from p = (26, 62, 21)/109
+        "DE": 0.4883245069059757,     # exactly log2(5)/log2(27)
+        "RDE": 11.0 / 65.0,           # exactly
+        "RWDE": 0.2605517536078936,   # exactly 80486/308906
+    }
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_entropy_exact_fractions():
+    # the exactly-rational fixtures, asserted from their closed forms
+    assert abs(entropy.RPE(BP_SERIES) - 29.0 / 125.0) < 1e-15
+    assert abs(entropy.DE(BP_SERIES) - np.log(5) / np.log(27)) < 1e-15
+    assert abs(entropy.RDE(BP_SERIES) - 11.0 / 65.0) < 1e-15
+    assert abs(entropy.RWDE(BP_SERIES) - 80486.0 / 308906.0) < 1e-15
+
+
+def test_arima_noiseless_ar3_exact():
+    z = [1.0, 0.0, 0.0, 0.125, 0.0625, 0.0, 0.0, 0.0078125]
+    y = np.concatenate([[10.0], 10.0 + np.cumsum(z)])
+    res = arima.fit_arima(y, order=(3, 1, 0))
+    np.testing.assert_allclose(res.ar_coefs, [0.5, -0.25, 0.125], atol=1e-12)
+    assert res.sigma2 < 1e-25
+    fc = arima.forecast(y, res, steps=5)
+    np.testing.assert_allclose(
+        fc,
+        [11.19921875, 11.19921875, 11.19921875, 11.19970703125, 11.199951171875],
+        atol=1e-12,
+    )
