@@ -97,6 +97,11 @@ def resolve_csv_path(data_root: str, file_type: str, ticker: str, period: str = 
     primary = os.path.join(data_root, file_type, ticker, f"{ticker}_us_{period}.csv")
     if os.path.exists(primary):
         return primary
+    # the GPR package keeps its data under `<ticker>_EOD/` directories
+    # (GPR/data_handler.py:28: '../Stocks/{ticker}_EOD/{ticker}_us_{period}.csv')
+    eod = os.path.join(data_root, file_type, f"{ticker}_EOD", f"{ticker}_us_{period}.csv")
+    if os.path.exists(eod):
+        return eod
     fallback = os.path.join(data_root, file_type, ticker, f"{ticker}.csv")
     if os.path.exists(fallback):
         return fallback

@@ -1,0 +1,381 @@
+"""Golden-fixture generator: reference-parity numbers on the reference's REAL
+committed CSVs, computed by an INDEPENDENT numpy/scipy float64 chain.
+
+GPflow itself cannot be installed in this image (BASELINE.md acceptance notes),
+so — as VERDICT round-1 item 4 prescribes — the fixture generator is a
+closed-form float64 implementation of exactly the math GPflow runs, sharing
+NO code with portfoliooptgp_tpu:
+
+- data prep: raw pandas on the committed CSVs with the reference's exact
+  semantics (pct_change returns with the first NaN filled from row 1,
+  GPR/data_handler.py:35-37; z-scores with pandas ddof=1 std,
+  GPR/data_handler.py:55-58 / utils/data_handler.py:160-172; day index =
+  (date - train_start).days, GPR/data_handler.py:42-44);
+- GP math: kernel matrices, Cholesky NLL, GPML-eq-5.9 analytic gradients
+  through GPflow's softplus(+1e-6) positive bijector;
+- optimizer: scipy L-BFGS-B — the very optimizer gpflow.optimizers.Scipy
+  wraps (GPR/model_trainer.py:18-19);
+- blend weights: scipy SLSQP with the reference's objective/x0/bounds
+  (GPR/optimizer.py:13-27).
+
+Run `python tools/make_goldens.py` from the repo root; it verifies its own
+analytic gradients against finite differences, then writes
+tests/goldens/reference_data_goldens.json. tests/test_golden_reference_data.py
+asserts the JAX/TPU pipeline reproduces these committed numbers on the same
+real data within optimization tolerance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from scipy.optimize import minimize
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
+                   "reference_data_goldens.json")
+
+SHIFT = 1e-6  # gpflow positive-bijector lower shift
+
+
+# ---------------------------------------------------------------- data prep
+def load_window(path, start, end):
+    df = pd.read_csv(path)
+    df["date"] = pd.to_datetime(df["date"])
+    df = df[(df["date"] >= start) & (df["date"] <= end)].reset_index(drop=True)
+    return df
+
+
+def prep(df, train_start, normalize_x):
+    """(X, Y, (y_mean, y_std), (x_mean, x_std)) with reference semantics."""
+    day = (df["date"] - pd.Timestamp(train_start)).dt.days.astype(float)
+    ret = df["close"].pct_change()
+    ret.iloc[0] = ret.iloc[1]  # GPR/data_handler.py:36-37
+    y_mean, y_std = ret.mean(), ret.std()  # pandas std: ddof=1
+    Y = ((ret - y_mean) / y_std).to_numpy()[:, None]
+    if normalize_x:
+        x_mean, x_std = day.mean(), day.std()
+        X = ((day - x_mean) / x_std).to_numpy()[:, None]
+    else:
+        x_mean, x_std = 0.0, 1.0
+        X = day.to_numpy()[:, None]
+    return X, Y, (float(y_mean), float(y_std)), (float(x_mean), float(x_std))
+
+
+# ------------------------------------------------------------- GP math
+def softplus(x):
+    return np.logaddexp(x, 0.0)
+
+
+def softplus_inv(y):
+    return y + np.log(-np.expm1(-y))
+
+
+def to_constrained(raw):
+    return softplus(raw) + SHIFT
+
+
+def dconstrained_draw(raw):
+    return 1.0 / (1.0 + np.exp(-raw))  # sigmoid
+
+
+def sqdist(A, B):
+    aa = np.sum(A * A, axis=1)[:, None]
+    bb = np.sum(B * B, axis=1)[None, :]
+    return np.maximum(aa + bb - 2.0 * (A @ B.T), 0.0)
+
+
+def kern_and_grads(name, X, X2, v, ell):
+    """K and dK/dv, dK/dell for an isotropic kernel over all columns of X."""
+    r2 = sqdist(X / ell, X2 / ell)
+    if name == "se":
+        E = np.exp(-0.5 * r2)
+        K = v * E
+        dKdv = E
+        dKdl = v * E * r2 / ell  # d/dl exp(-r2_unit/(2 l^2)) chain: r2 = d2/l^2
+    elif name == "matern12":
+        r = np.sqrt(np.maximum(r2, 1e-300))
+        E = np.exp(-r)
+        K = v * E
+        dKdv = E
+        dKdl = v * E * r / ell
+    else:
+        raise ValueError(name)
+    return K, dKdv, dKdl
+
+
+def nll_and_grad_single(raw, name, X, Y, noise):
+    """NLL and gradient wrt raw (variance, lengthscale); noise frozen."""
+    v, ell = to_constrained(raw[0]), to_constrained(raw[1])
+    K, dKdv, dKdl = kern_and_grads(name, X, X, v, ell)
+    n = X.shape[0]
+    Ks = K + noise * np.eye(n)
+    L = np.linalg.cholesky(Ks)
+    alpha = np.linalg.solve(Ks, Y)  # (n,1)
+    nll = (0.5 * float((Y.T @ alpha).item()) + np.log(np.diag(L)).sum()
+           + 0.5 * n * np.log(2 * np.pi))
+    Kinv = np.linalg.inv(Ks)
+    W = Kinv - alpha @ alpha.T  # dNLL/dK = W/2
+    g = np.array([
+        0.5 * np.sum(W * dKdv) * dconstrained_draw(raw[0]),
+        0.5 * np.sum(W * dKdl) * dconstrained_draw(raw[1]),
+    ])
+    return nll, g
+
+
+def nll_and_grad_product(raw, X, Y, noise, d_split):
+    """Composite Exponential(features)×Exponential(time) over column split
+    (Multi-Input_GPR/main.py:118-135); raw = (v1, l1, v2, l2)."""
+    X1, X2c = X[:, :d_split], X[:, d_split:]
+    v1, l1 = to_constrained(raw[0]), to_constrained(raw[1])
+    v2, l2 = to_constrained(raw[2]), to_constrained(raw[3])
+    K1, dK1dv, dK1dl = kern_and_grads("matern12", X1, X1, v1, l1)
+    K2, dK2dv, dK2dl = kern_and_grads("matern12", X2c, X2c, v2, l2)
+    K = K1 * K2
+    n = X.shape[0]
+    Ks = K + noise * np.eye(n)
+    L = np.linalg.cholesky(Ks)
+    alpha = np.linalg.solve(Ks, Y)
+    nll = (0.5 * float((Y.T @ alpha).item()) + np.log(np.diag(L)).sum()
+           + 0.5 * n * np.log(2 * np.pi))
+    Kinv = np.linalg.inv(Ks)
+    W = Kinv - alpha @ alpha.T
+    sig = dconstrained_draw
+    g = np.array([
+        0.5 * np.sum(W * (dK1dv * K2)) * sig(raw[0]),
+        0.5 * np.sum(W * (dK1dl * K2)) * sig(raw[1]),
+        0.5 * np.sum(W * (K1 * dK2dv)) * sig(raw[2]),
+        0.5 * np.sum(W * (K1 * dK2dl)) * sig(raw[3]),
+    ])
+    return nll, g
+
+
+def check_grads():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(12, 3))
+    Y = rng.normal(size=(12, 1))
+    raw = softplus_inv(np.array([0.7, 1.3]))
+    h = 1e-5  # central-diff step: below this float64 cancellation dominates
+    for name in ("se", "matern12"):
+        f = lambda r: nll_and_grad_single(r, name, X[:, :1], Y, 1e-3)[0]
+        _, g = nll_and_grad_single(raw, name, X[:, :1], Y, 1e-3)
+        for i in range(2):
+            e = np.zeros(2); e[i] = h
+            fd = (f(raw + e) - f(raw - e)) / (2 * h)
+            assert abs(fd - g[i]) < 1e-6 * max(1, abs(fd)), (name, i, fd, g[i])
+    raw4 = softplus_inv(np.array([0.7, 1.3, 0.9, 2.0]))
+    f = lambda r: nll_and_grad_product(r, X, Y, 1e-3, 2)[0]
+    _, g = nll_and_grad_product(raw4, X, Y, 1e-3, 2)
+    for i in range(4):
+        e = np.zeros(4); e[i] = h
+        fd = (f(raw4 + e) - f(raw4 - e)) / (2 * h)
+        assert abs(fd - g[i]) < 1e-6 * max(1, abs(fd)), ("prod", i, fd, g[i])
+    print("analytic gradients verified against finite differences")
+
+
+def fit_single(name, X, Y, noise, maxiter):
+    raw0 = softplus_inv(np.array([1.0, 1.0]) - SHIFT)  # gpflow default inits
+    res = minimize(
+        lambda r: nll_and_grad_single(r, name, X, Y, noise),
+        raw0, jac=True, method="L-BFGS-B", options={"maxiter": maxiter},
+    )
+    v, ell = to_constrained(res.x[0]), to_constrained(res.x[1])
+    return res, float(v), float(ell)
+
+
+def posterior_single(name, X, Y, v, ell, noise, Xnew):
+    K, _, _ = kern_and_grads(name, X, X, v, ell)
+    Ks = K + noise * np.eye(X.shape[0])
+    Kmn, _, _ = kern_and_grads(name, X, Xnew, v, ell)
+    L = np.linalg.cholesky(Ks)
+    alpha = np.linalg.solve(Ks, Y)
+    mean = Kmn.T @ alpha
+    A = np.linalg.solve(L, Kmn)
+    var = np.maximum(v - np.sum(A * A, axis=0), 0.0)
+    return mean[:, 0], var
+
+
+# --------------------------------------------------- part A: single-asset
+def single_asset_goldens():
+    """AAPL d/w/m (GPR package tree) + MSFT d (top-level tree), reference GPR
+    config: train 2024-02-01..2024-04-26 (GPR/main.py:100-103), Y = z-scored
+    returns, X = raw day index (normalize_x=False), sigma^2 = 1e-5 frozen,
+    L-BFGS maxiter=100, menu winner by train MSE (GPR/model_trainer.py:10-26).
+    Menu here: [SquaredExponential, Matern12]."""
+    out = {}
+    cfgs = [
+        ("AAPL", f"{REF}/GPR/Stocks/AAPL_EOD", ("d", "w", "m"),
+         "2024-02-01", "2024-04-26"),
+        ("MSFT", f"{REF}/Stocks/MSFT", ("d",), "2024-02-12", "2024-05-10"),
+    ]
+    noise = 1e-5
+    for ticker, root, periods, t0, t1 in cfgs:
+        per_tf = {}
+        for p in periods:
+            df = load_window(f"{root}/{ticker}_us_{p}.csv", t0, t1)
+            X, Y, y_stats, _ = prep(df, t0, normalize_x=False)
+            fits = {}
+            for name in ("se", "matern12"):
+                res, v, ell = fit_single(name, X, Y, noise, maxiter=100)
+                mean, var = posterior_single(name, X, Y, v, ell, noise, X)
+                fits[name] = dict(
+                    nll=float(res.fun), variance=v, lengthscale=ell,
+                    mse=float(np.mean((mean - Y[:, 0]) ** 2)),
+                    f_mean=mean.tolist(), f_var=var.tolist(),
+                )
+            winner = min(fits, key=lambda k: fits[k]["mse"])
+            per_tf[p] = dict(n=X.shape[0], y_stats=list(y_stats),
+                             winner=winner, fits=fits)
+        out[ticker] = per_tf
+
+    # blend fit on AAPL (alpha, beta over d/w/m posterior means,
+    # GPR/main.py:47-56 + GPR/optimizer.py:20-27, lambda=0.1 GPR/main.py:117)
+    a = out["AAPL"]
+    xd = load_window(f"{REF}/GPR/Stocks/AAPL_EOD/AAPL_us_d.csv",
+                     "2024-02-01", "2024-04-26")
+    day_d = (xd["date"] - pd.Timestamp("2024-02-01")).dt.days.astype(float).to_numpy()
+    day_of = {}
+    for p in ("w", "m"):
+        dfp = load_window(f"{REF}/GPR/Stocks/AAPL_EOD/AAPL_us_{p}.csv",
+                          "2024-02-01", "2024-04-26")
+        day_of[p] = (dfp["date"] - pd.Timestamp("2024-02-01")).dt.days.astype(float).to_numpy()
+
+    f_d = np.asarray(a["d"]["fits"][a["d"]["winner"]]["f_mean"])
+    ups = {}
+    for p in ("w", "m"):
+        f_p = np.asarray(a[p]["fits"][a[p]["winner"]]["f_mean"])
+        s = pd.Series(f_p, index=day_of[p]).reindex(day_d).interpolate(
+            method="linear").ffill().bfill()
+        ups[p] = s.to_numpy()
+    Yd = None
+    Xd_, Yd_, _, _ = prep(xd, "2024-02-01", normalize_x=False)
+    Yd = Yd_[:, 0]
+    lam = 0.1
+
+    def blend_loss(w):
+        al, be = w
+        pred = al * f_d + be * ups["w"] + (1 - al - be) * ups["m"]
+        return float(np.mean((Yd - pred) ** 2) + lam * (abs(al) + abs(be)))
+
+    res = minimize(blend_loss, [0.33, 0.33], bounds=[(0, 1), (0, 1)],
+                   constraints={"type": "ineq", "fun": lambda x: 1 - sum(x)},
+                   method="SLSQP")
+    out["AAPL_blend"] = dict(alpha=float(res.x[0]), beta=float(res.x[1]),
+                             loss=float(res.fun), lambda_=lam)
+    return out
+
+
+# --------------------------------------------------- part B: multi-input
+MI_FEATURES = ["Brent_Oil", "DXY", "SP500", "NasDaq100", "BTC", "XAU_USD"]
+MI_PATH = {
+    "Brent_Oil": f"{REF}/Commodities/Brent_Oil/Brent_Oil_us_d.csv",
+    "DXY": f"{REF}/Commodities/DXY/DXY_us_d.csv",
+    "XAU_USD": f"{REF}/Commodities/XAU_USD/XAU_USD_us_d.csv",
+    "SP500": f"{REF}/Stocks/Index/SP500/SP500_us_d.csv",
+    "NasDaq100": f"{REF}/Stocks/Index/NasDaq100/NasDaq100_us_d.csv",
+    "BTC": f"{REF}/Stocks/BTC/BTC_us_d.csv",
+}
+
+
+def multi_input_goldens():
+    """JPM walk-forward (step 4) on the reference's real CSVs with the
+    __main__ config (Multi-Input_GPR/main.py:482-553): train
+    2024-02-10..2024-05-10, test ..2024-05-17, threshold 0.30,
+    Exponential×Exponential composite, isFixedLikelihood → sigma^2=1e-3
+    frozen (main.py:417-421), full-convergence L-BFGS."""
+    t0, t1, t2 = "2024-02-10", "2024-05-10", "2024-05-17"
+    tgt = f"{REF}/Stocks/JPM/JPM_us_d.csv"
+
+    def series(path, start, end):
+        df = load_window(path, start, end)
+        X, Y, (ym, ys), _ = prep(df, t0, normalize_x=True)
+        return X, Y, ym, ys
+
+    Xj, Yj, jm, js = series(tgt, t0, t1)
+    Xjf, Yjf, jfm, jfs = series(tgt, t0, t2)
+
+    corrs, kept = {}, []
+    cols, cols_full = [], []
+    for f in MI_FEATURES:
+        _, Yf, fm, fs = series(MI_PATH[f], t0, t1)
+        _, Yff, _, _ = series(MI_PATH[f], t0, t2)
+        c = float(np.corrcoef(
+            np.stack([(Yf[:, 0] * fs + fm), (Yj[:, 0] * js + jm)]))[0, 1])
+        corrs[f] = c
+        if abs(c) > 0.30:
+            kept.append(f)
+            cols.append(Yf[:, 0])
+            cols_full.append(Yff[:, 0])
+    X = np.column_stack(cols + [Xj[:, 0]])
+    Xf = np.column_stack(cols_full + [Xjf[:, 0]])
+    D = X.shape[1]
+    noise = 1e-3
+
+    n_train, n_full = len(Yj), len(Yjf)
+    days = []
+    raw0 = softplus_inv(np.ones(4) - SHIFT)
+    hp0 = None
+    for i in range(n_train, n_full):
+        res = minimize(
+            lambda r: nll_and_grad_product(r, Xf[:i], Yjf[:i], noise, D - 1),
+            raw0, jac=True, method="L-BFGS-B", options={"maxiter": 1000},
+        )
+        v1, l1, v2, l2 = [float(to_constrained(x)) for x in res.x]
+        if hp0 is None:
+            hp0 = dict(v1=v1, l1=l1, v2=v2, l2=l2, nll=float(res.fun))
+        # posterior at row i (next day)
+        X1, X2c = Xf[:i, :D - 1], Xf[:i, D - 1:]
+        K1, _, _ = kern_and_grads("matern12", X1, X1, v1, l1)
+        K2, _, _ = kern_and_grads("matern12", X2c, X2c, v2, l2)
+        Ks = K1 * K2 + noise * np.eye(i)
+        xs1, xs2 = Xf[i:i + 1, :D - 1], Xf[i:i + 1, D - 1:]
+        k1s, _, _ = kern_and_grads("matern12", X1, xs1, v1, l1)
+        k2s, _, _ = kern_and_grads("matern12", X2c, xs2, v2, l2)
+        ks = (k1s * k2s)[:, 0]
+        L = np.linalg.cholesky(Ks)
+        alpha = np.linalg.solve(Ks, Yjf[:i, 0])
+        mean = float(ks @ alpha)
+        A = np.linalg.solve(L, ks)
+        var = float(max(v1 * v2 - A @ A, 0.0))
+        days.append(dict(
+            f_mean=mean * jfs + jfm,
+            f_var=var * jfs ** 2,
+            actual=float(Yjf[i, 0]) * jfs + jfm,
+        ))
+    return dict(
+        ticker="JPM", correlations=corrs, kept_features=kept,
+        n_train=n_train, n_full=n_full, day0_hyperparams=hp0,
+        walk_forward=days, y_stats_full=[jfm, jfs],
+    )
+
+
+if __name__ == "__main__":
+    check_grads()
+    goldens = dict(
+        _provenance=(
+            "generated by tools/make_goldens.py: independent numpy/scipy "
+            "float64 chain (scipy L-BFGS-B / SLSQP, closed-form GPML-5.9 "
+            "gradients, gpflow softplus+1e-6 bijector) on the reference's "
+            "committed CSVs under /root/reference"
+        ),
+        single_asset=single_asset_goldens(),
+        multi_input=multi_input_goldens(),
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as fh:
+        json.dump(goldens, fh, indent=1)
+    print(f"wrote {os.path.normpath(OUT)}")
+    mi = goldens["multi_input"]
+    print("kept:", mi["kept_features"])
+    print("correlations:", {k: round(v, 4) for k, v in mi["correlations"].items()})
+    print("walk-forward f_means:", [round(d["f_mean"], 6) for d in mi["walk_forward"]])
+    aapl = goldens["single_asset"]["AAPL"]
+    for p, d in aapl.items():
+        w = d["winner"]
+        f = d["fits"][w]
+        print(f"AAPL {p}: winner={w} v={f['variance']:.4f} l={f['lengthscale']:.4f} "
+              f"nll={f['nll']:.4f} mse={f['mse']:.6f}")
+    print("blend:", goldens["single_asset"]["AAPL_blend"])
