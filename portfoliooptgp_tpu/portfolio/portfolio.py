@@ -34,12 +34,16 @@ class Portfolio:
         lambda_: float = 0.01,
         broker_fee: float = 0.0,
         verbose: bool = False,
+        dynamic_decision: str = "expected_return",
     ):
         self.assets = list(assets)
         self.optimizer = optimizer
         self.risk_free_rate = risk_free_rate
         self.lambda_ = lambda_
         self.broker_fee = broker_fee
+        # "expected_return" (active reference path) or "prob_threshold"
+        # (the MC variant, Strategies/dynamic_strategy.py:61-93)
+        self.dynamic_decision = dynamic_decision
         self.returns = [np.asarray(r, dtype=float).reshape(-1, 1) for r in asset_returns]
         self.variances = [
             np.asarray(v, dtype=float).reshape(-1, 1) for v in predicted_volatilities
@@ -54,6 +58,8 @@ class Portfolio:
         cls = STRATEGY_REGISTRY.get(strategy_name)
         if cls is None:
             raise ValueError(f"Strategy '{strategy_name}' is not recognized.")
+        if strategy_name == "dynamic":
+            return cls(broker_fee=self.broker_fee, decision=self.dynamic_decision)
         return cls(broker_fee=self.broker_fee)
 
     def get_optimal_weights(
@@ -80,6 +86,7 @@ class Portfolio:
                 cov_B=cov_B,
                 previous_weights=previous_weights,
                 broker_fee=self.broker_fee,
+                prob_threshold=prob_threshold,
             )
         return strategy.optimize(self.optimizer, max_volatility, min_return)
 

@@ -70,7 +70,20 @@ class DynamicStrategy(Strategy):
       E_B − E_A, then revert to the previous weights if transaction costs
       eat the (non-positive) gain — with B−A ≤ 0 and tx ≥ 0 the revert
       fires whenever tx > 0, a reference quirk preserved verbatim.
+
+    `decision="prob_threshold"` selects the reference's Monte-Carlo decision
+    variant (the alternative `optimize` at dynamic_strategy.py:61-93):
+    estimate P(B > A) elementwise over the joint MVNs with 10k samples
+    (:24-58); chase returns when it clears `prob_threshold`, otherwise hold
+    the previous weights.
     """
+
+    def __init__(self, broker_fee: float = 0.0, apply_broker_fee: bool = False,
+                 decision: str = "expected_return"):
+        super().__init__(broker_fee, apply_broker_fee)
+        if decision not in ("expected_return", "prob_threshold"):
+            raise ValueError(f"unknown dynamic decision rule: {decision!r}")
+        self.decision = decision
 
     def probability_a_greater_than_b_mvnorm(self, mu_a, cov_a, mu_b, cov_b, num_samples=10_000, seed=0):
         return probability_a_greater_than_b_mvnorm(mu_a, cov_a, mu_b, cov_b, num_samples, seed)
@@ -86,10 +99,24 @@ class DynamicStrategy(Strategy):
         cov_B=None,
         previous_weights=None,
         broker_fee: float = 0.001,
+        prob_threshold: float = 0.5,
+        num_samples: int = 10_000,
+        seed: int = 0,
         **kw,
     ):
         if mu_A is None:
             return optimizer.maximize_returns(max_volatility)
+
+        if self.decision == "prob_threshold":
+            # MC variant (dynamic_strategy.py:80-93): the helper is called
+            # with B first — P(pred-day samples beat prev-day samples in
+            # every dimension)
+            prob = self.probability_a_greater_than_b_mvnorm(
+                mu_B, cov_B, mu_A, cov_A, num_samples=num_samples, seed=seed
+            )
+            if prob >= prob_threshold:
+                return optimizer.maximize_returns(max_volatility)
+            return np.asarray(previous_weights, dtype=float)
 
         mu_A = np.asarray(mu_A, dtype=float)
         mu_B = np.asarray(mu_B, dtype=float)

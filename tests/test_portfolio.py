@@ -250,3 +250,64 @@ def test_evaluate_and_backtest_all_strategies(strategy):
     if strategy == "constant":
         for w in weights:
             np.testing.assert_allclose(w, 0.2, atol=1e-12)
+
+
+def test_dynamic_strategy_prob_threshold_variant():
+    """MC decision variant (Strategies/dynamic_strategy.py:61-93): day 0
+    maximizes returns; later days chase returns iff P(B > A) >= threshold,
+    else hold the previous weights."""
+    from portfoliooptgp_tpu.portfolio.strategies import DynamicStrategy
+
+    strat = DynamicStrategy(decision="prob_threshold")
+    prev = np.array([0.3, 0.2, 0.2, 0.2, 0.1])
+    cov = np.eye(5) * 1e-6
+
+    # day 0
+    opt = _RecordingOptimizer()
+    strat.optimize(opt, 0.02, 0.001, mu_A=None, prob_threshold=0.5)
+    assert opt.calls[0][0] == "maximize_returns"
+
+    # B clearly above A in every dimension -> P(B>A) ~ 1 -> chase returns
+    opt = _RecordingOptimizer()
+    mu_a = np.full(5, -0.05)
+    mu_b = np.full(5, 0.05)
+    w = strat.optimize(opt, 0.02, 0.001, mu_A=mu_a, cov_A=cov, mu_B=mu_b,
+                       cov_B=cov, previous_weights=prev, prob_threshold=0.5)
+    assert [c[0] for c in opt.calls] == ["maximize_returns"]
+
+    # B clearly below A -> P(B>A) ~ 0 -> hold previous weights, no solve
+    opt = _RecordingOptimizer()
+    w = strat.optimize(opt, 0.02, 0.001, mu_A=mu_b, cov_A=cov, mu_B=mu_a,
+                       cov_B=cov, previous_weights=prev, prob_threshold=0.5)
+    assert opt.calls == []
+    np.testing.assert_allclose(w, prev)
+
+
+def test_portfolio_dynamic_decision_plumbing(rng):
+    """Portfolio(dynamic_decision="prob_threshold") evaluates end-to-end and
+    the prob_threshold knob reaches the strategy."""
+    p, preds, corr = _portfolio_fixture_like(rng)
+    w, v = p.evaluate_portfolio(
+        strategy_name="dynamic", max_volatility=0.02, min_return=0.001,
+        prob_threshold=0.5, cov=corr,
+    )
+    assert len(w) == 5
+    for wi in w:
+        np.testing.assert_allclose(np.sum(wi), 1.0, atol=1e-5)
+
+
+def _portfolio_fixture_like(rng):
+    from portfoliooptgp_tpu.portfolio.optimizer import PortfolioOptimizer
+    from portfoliooptgp_tpu.portfolio.portfolio import Portfolio
+
+    n_assets, n_days = 5, 5
+    preds = [0.002 + 0.01 * rng.normal(size=n_days) for _ in range(n_assets)]
+    pvars = [(0.01 + 0.005 * rng.random(size=n_days)) ** 2 for _ in range(n_assets)]
+    opt = PortfolioOptimizer(n_assets=n_assets, lambda_l1=0.01, lambda_tx=1e-5)
+    corr = np.corrcoef(rng.normal(size=(n_assets, 50)))
+    p = Portfolio(
+        ["A", "B", "C", "D", "E"], preds, pvars, opt,
+        risk_free_rate=RF, broker_fee=1e-5,
+        dynamic_decision="prob_threshold",
+    )
+    return p, preds, corr
