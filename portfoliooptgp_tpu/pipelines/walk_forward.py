@@ -157,14 +157,20 @@ def batched_walk_forward(
         # the shared per-factor distance blocks and the day's prefix mask —
         # no (B, N, N) masked K is ever materialized in HBM
         def batched_loss(ms):
-            fams, d2s, vs, ells, als = gpr_mod.fused_stationary_spec(ms, X_full)
+            spec = gpr_mod.fused_stationary_spec(ms, X_full)
             noise = jax.vmap(lambda m: m.likelihood.variance)(ms)
             err = (
                 Y_full[None, :, 0]
                 - jax.vmap(lambda m: m.mean_function(X_full))(ms)[:, :, 0]
             ) * masks_dr
-            nll = st_mod.batched_nll_stationary_general(
-                fams, d2s, err, vs, ells, als, noise, masks_dr
+            fused = (
+                st_mod.batched_nll_stationary_sum
+                if spec.combine == "sum"
+                else st_mod.batched_nll_stationary_general
+            )
+            nll = fused(
+                spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
+                noise, masks_dr
             )
             # the kernel's 2π constant uses the full N; restate it for n_eff
             return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)

@@ -52,29 +52,34 @@ def train_svgp_minibatched(
     freeze_likelihood: bool = True,
     shuffle: bool = True,
     seed: int = 0,
+    inner_steps: int = 8,
 ) -> SVGPTrainResult:
     """Adam on the (optionally mesh-sharded) minibatch negative ELBO, fed by
     the host-prefetch iterator (data/iterator.py). The async dispatch model
     means the device is never waiting on host slicing: batch i+1 transfers
-    while step i runs. Replaces the reference's full-batch closure
-    (test_scripts/SVGP.py:530-533) for N too large to sit in one batch."""
+    while step i runs. `inner_steps` batches are scanned per dispatch
+    (elbo_sharded.make_elbo_train_step) so launch overhead — the dominant
+    cost of one Adam step at reference scale — amortizes to ~1/inner_steps.
+    Replaces the reference's full-batch closure (test_scripts/SVGP.py:530-533)
+    for N too large to sit in one batch."""
     from portfoliooptgp_tpu.data.iterator import MinibatchIterator
     from portfoliooptgp_tpu.parallel import elbo_sharded
 
     frozen = lbfgs.freeze_leaves(model, likelihood=True) if freeze_likelihood else None
     init_fn, step_fn = elbo_sharded.make_elbo_train_step(
-        num_data=X.shape[0], mesh=mesh, optimizer=optimizer, frozen=frozen
+        num_data=X.shape[0], mesh=mesh, optimizer=optimizer, frozen=frozen,
+        inner_steps=inner_steps,
     )
     state = init_fn(model)
     loss = jnp.asarray(jnp.inf)
-    steps = 0
     with MinibatchIterator(
         X, Y, batch_size, mesh=mesh, num_epochs=num_epochs,
-        shuffle=shuffle, seed=seed,
+        shuffle=shuffle, seed=seed, inner_steps=inner_steps,
     ) as it:
+        steps_per_epoch = it.steps_per_epoch()
         for Xb, Yb, wb in it:
             state, loss = step_fn(state, Xb, Yb, wb)
-            steps += 1
+    steps = num_epochs * steps_per_epoch  # real batches; tail dummies skipped
     return SVGPTrainResult(model=state.model, elbo=-loss, iters=jnp.asarray(steps))
 
 

@@ -40,14 +40,33 @@ def _mse(model, X, Y):
     return jnp.mean((mean - Y) ** 2)
 
 
-def train_model(model: GPR, X, Y, *, maxiter: int = 1000, train_likelihood_variance: bool = False, **fit_kw):
+def _fast_default() -> bool:
+    """Route single-model training through the fused batched NLL only where
+    the Pallas kernels are compiled (real TPU); the CPU/interpret path keeps
+    the plain XLA loss, which is faster than interpreting a kernel."""
+    return jax.default_backend() == "tpu"
+
+
+def train_model(model: GPR, X, Y, *, maxiter: int = 1000,
+                train_likelihood_variance: bool = False, fast=None, **fit_kw):
     """MLE-train one model; likelihood frozen unless requested (parity with
-    gpflow.set_trainable(model.likelihood, False), models/model_trainer.py:19)."""
+    gpflow.set_trainable(model.likelihood, False), models/model_trainer.py:19).
+
+    With fast (default: on TPU), the loss routes through
+    `batched_neg_log_marginal_likelihood` as a batch of one, so single-model
+    training uses the same fused Pallas tiers — and records the same
+    dispatch telemetry — as the batched trainers."""
+    if fast is None:
+        fast = _fast_default()
     frozen = None if train_likelihood_variance else lbfgs.freeze_leaves(model, likelihood=True)
-    res = lbfgs.fit(
-        lambda m: gpr_mod.neg_log_marginal_likelihood(m, X, Y),
-        model, maxiter=maxiter, frozen=frozen, **fit_kw,
-    )
+    if fast:
+        def loss(m):
+            mb = jax.tree.map(lambda x: x[None], m)
+            return gpr_mod.batched_neg_log_marginal_likelihood(mb, X, Y)[0]
+    else:
+        def loss(m):
+            return gpr_mod.neg_log_marginal_likelihood(m, X, Y)
+    res = lbfgs.fit(loss, model, maxiter=maxiter, frozen=frozen, **fit_kw)
     trained = res.params
     return TrainedModel(model=trained, loss=res.loss, mse=_mse(trained, X, Y), iters=res.iters)
 
@@ -70,6 +89,25 @@ def train_likelihood(
         for v in starting_variances
     ]
     stacked = lbfgs.stack_pytrees(models)
+    fast = fit_kw.pop("fast", None)
+    if fast is None:
+        fast = _fast_default()
+    if fast:
+        # the whole restart batch factors in one fused Pallas NLL per
+        # L-BFGS iteration (train/batched_lbfgs.py)
+        from portfoliooptgp_tpu.train import batched_lbfgs
+
+        params, bres = batched_lbfgs.fit_batched_fused(
+            lambda ms: gpr_mod.batched_neg_log_marginal_likelihood(ms, X, Y),
+            stacked, maxiter=maxiter, **fit_kw,
+        )
+        losses = jnp.where(jnp.isfinite(bres.loss), bres.loss, jnp.inf)
+        best = jnp.argmin(losses)
+        model = lbfgs.index_pytree(params, best)
+        return TrainedModel(
+            model=model, loss=losses[best], mse=_mse(model, X, Y),
+            iters=bres.iters,
+        )
     res = lbfgs.fit_batched(
         lambda m: gpr_mod.neg_log_marginal_likelihood(m, X, Y),
         stacked, maxiter=maxiter, **fit_kw,
@@ -87,6 +125,7 @@ class MenuResult(NamedTuple):
     best: TrainedModel
     losses: list
     mses: list
+    tiers: list  # NLL dispatch tier per menu entry (gpr.nll_tier)
 
 
 def train_best_model(

@@ -157,10 +157,11 @@ def test_masked_general_matches_masked_nll():
     masks = jnp.asarray((np.arange(N)[None, :] < np.array([60, 90, 120])[:, None]),
                         jnp.float32)
 
-    fams, d2s, vs, ells, als = gpr.fused_stationary_spec(stacked, X)
+    sp = gpr.fused_stationary_spec(stacked, X)
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked)
     err = Y[None, :, 0] * masks
-    got = st.batched_nll_stationary_general(fams, d2s, err, vs, ells, als, noise, masks)
+    got = st.batched_nll_stationary_general(
+        sp.families, sp.d2s, err, sp.vs, sp.ls, sp.als, noise, masks)
     # restate the 2π constant for the effective row counts
     n_eff = jnp.sum(masks, axis=1)
     got = got - 0.5 * (N - n_eff) * jnp.log(2.0 * jnp.pi)
@@ -169,11 +170,11 @@ def test_masked_general_matches_masked_nll():
 
     # gradients agree with autodiff through the dense masked system
     def loss_f(s):
-        fams2, d2s2, vs2, ells2, als2 = gpr.fused_stationary_spec(s, X)
+        sp2 = gpr.fused_stationary_spec(s, X)
         nz = jax.vmap(lambda m: m.likelihood.variance)(s)
         e = Y[None, :, 0] * masks
         return jnp.sum(st.batched_nll_stationary_general(
-            fams2, d2s2, e, vs2, ells2, als2, nz, masks))
+            sp2.families, sp2.d2s, e, sp2.vs, sp2.ls, sp2.als, nz, masks))
 
     def loss_r(s):
         return jnp.sum(jax.vmap(lambda m, msk: masked_nll(m, X, Y, msk))(s, masks))
