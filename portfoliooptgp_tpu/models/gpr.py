@@ -296,16 +296,9 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
     n = X.shape[0]
-    leaves = jax.tree.leaves(stacked_model)
-    params_f32 = all(jnp.asarray(l).dtype == jnp.float32 for l in leaves)
-    use_fast = (
-        fast
-        and X.dtype == jnp.float32
-        and params_f32  # f64 params (parity mode) take the XLA path
-        and Y.shape[1] == 1
-        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_supported(n))
-    )
-    if not use_fast:
+    # dispatch and telemetry share one predicate: nll_tier() IS the router
+    tier = nll_tier(stacked_model, X, Y, fast=fast)
+    if tier == "xla":
         _record_tier("xla", n, jnp.shape(jax.tree.leaves(stacked_model)[0])[0])
         return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
 
@@ -316,15 +309,15 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     # fully-fused path: the kernel is built from supported atoms — K is
     # constructed inside the Pallas kernel from batch-shared (N, N) matrices
     # and per-model scalars, and never materialized in HBM
-    spec = fused_stationary_spec(stacked_model, X)
-    if spec is not None and nll_mod.pallas_nll_supported(n):
-        if len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES:
+    if tier in ("fused_stationary", "fused_general_sum", "fused_general_prod"):
+        spec = fused_stationary_spec(stacked_model, X)
+        if tier == "fused_stationary":
             _record_tier("fused_stationary", n, b)
             return st_mod.batched_nll_stationary(
                 spec.d2s[0], err, spec.vs[0], spec.ls[0], noise, spec.families[0]
             )
         mask = jnp.ones((b, n), X.dtype)
-        if spec.combine == "sum":
+        if tier == "fused_general_sum":
             _record_tier("fused_general_sum", n, b)
             return st_mod.batched_nll_stationary_sum(
                 spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
@@ -337,7 +330,7 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
         )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
-    if nll_mod.pallas_nll_supported(n):
+    if tier == "pallas_dense":
         _record_tier("pallas_dense", n, b)
         return nll_mod.batched_nll(Kb, err, noise)
     _record_tier("blocked", n, b)

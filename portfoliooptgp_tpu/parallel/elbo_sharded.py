@@ -117,6 +117,12 @@ def make_elbo_train_step(
 
         @jax.jit
         def step_fn(state: TrainState, Xs, Ys, ws):
+            # carry dtype = the actual loss dtype, NOT the data dtype —
+            # cond branches must agree even for f64 inputs/f32 params
+            loss_dtype = jax.eval_shape(
+                loss_fn, state.model, Xs[0], Ys[0], ws[0]
+            ).dtype
+
             def body(carry, batch):
                 st, last = carry
                 Xb, Yb, wb = batch
@@ -130,7 +136,7 @@ def make_elbo_train_step(
                 return (st2, loss), None
 
             (state, loss), _ = jax.lax.scan(
-                body, (state, jnp.asarray(jnp.inf, Xs.dtype)), (Xs, Ys, ws)
+                body, (state, jnp.asarray(jnp.inf, loss_dtype)), (Xs, Ys, ws)
             )
             return state, loss
 

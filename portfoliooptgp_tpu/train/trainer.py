@@ -142,18 +142,24 @@ def train_best_model(
     gpflow does for the script workloads that pass Polynomial(2)/Linear mean
     functions (test_scripts/GPR.py:103, test_scripts/GPFlow.py:186-205).
     """
-    trained, losses, mses = [], [], []
+    trained, losses, mses, tiers = [], [], [], []
+    fast = fit_kw.get("fast")
+    if fast is None:
+        fast = _fast_default()
     for kernel in kernel_menu:
         model = GPR.create(
             kernel, noise_variance=noise_variance, mean_function=mean_function
         )
+        stacked = jax.tree.map(lambda x: jnp.asarray(x)[None], model)
+        tiers.append(gpr_mod.nll_tier(stacked, X, Y, fast=fast))
         t = train_model(model, X, Y, maxiter=maxiter, **fit_kw)
         trained.append(t)
         losses.append(float(t.loss))
         mses.append(float(t.mse))
     mse_arr = [m if jnp.isfinite(m) else float("inf") for m in mses]
     best_index = int(min(range(len(mse_arr)), key=lambda i: mse_arr[i]))
-    return MenuResult(best_index=best_index, best=trained[best_index], losses=losses, mses=mses)
+    return MenuResult(best_index=best_index, best=trained[best_index],
+                      losses=losses, mses=mses, tiers=tiers)
 
 
 def train_restarts(loss_fn, stacked_models, *, maxiter: int = 100, frozen=None, **fit_kw):
