@@ -274,3 +274,127 @@ def test_rq_product_composite_routes_fused():
         scale = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
                                    atol=5e-3)
+
+
+def _stack_f32(ms):
+    from portfoliooptgp_tpu.train import lbfgs
+
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                        lbfgs.stack_pytrees(ms))
+
+
+def _xy(N, seed, D=1, dup=False):
+    rng = np.random.default_rng(seed)
+    X = np.sort(rng.uniform(0, 30, (N, D)), axis=0).astype(np.float32)
+    if dup:
+        # duplicated rows force off-diagonal u=0 entries — the hand-derived
+        # periodic_se φ'(u→0) limit must stay finite and correct there
+        X[1] = X[0]
+        X[N // 2] = X[N // 2 - 1]
+    Y = rng.normal(size=(N, 1)).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
+def _assert_fast_matches_xla(ms, X, Y, rtol=3e-4, gtol=5e-3):
+    """Value + gradient parity of the fused dispatch vs the dense XLA
+    kernel.K path (fast=False) on the same stacked batch."""
+    from portfoliooptgp_tpu.models import gpr
+
+    stacked = _stack_f32(ms)
+    fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
+    ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=rtol)
+
+    gf = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    gr = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y, fast=False)))(stacked)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = np.maximum(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=gtol)
+    return stacked
+
+
+def test_linear_atom_routes_fused():
+    """Single Linear kernel (menu entry 6 atom, GPR/main.py:110) through
+    the fused general path: value + gradients vs dense kernel.K."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(100, 7)
+    ms = [gpr.GPR.create(km.Linear.create(variance=v), noise_variance=0.3)
+          for v in (0.05, 0.2)]
+    # gtol 2e-2: the Gram entries reach ~900, and the f32 NLL gradient is
+    # genuinely that sensitive — the fused path is *closer* to the f64
+    # truth than the dense f32 reference here (checked offline)
+    stacked = _assert_fast_matches_xla(ms, X, Y, gtol=2e-2)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
+
+
+def test_periodic_se_atom_routes_fused():
+    """Single Periodic(SE) atom (menu entries 6-7), with duplicated inputs
+    so off-diagonal u=0 exercises the φ'(u→0) closed-form limit."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(110, 8, dup=True)
+    ms = [gpr.GPR.create(
+        km.Periodic.create(km.SquaredExponential.create(variance=v,
+                                                        lengthscales=1.5),
+                           period=p),
+        noise_variance=0.2) for v, p in ((0.6, 5.0), (1.4, 9.0))]
+    stacked = _assert_fast_matches_xla(ms, X, Y)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
+    # period gradient must flow
+    gf = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    assert np.abs(np.asarray(gf.kernel.raw_period)).min() > 0
+
+
+def test_sum_se_linear_routes_fused():
+    """Sum(SE + Linear): the sum-combine fused path and its VJP vs dense."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(120, 9)
+    ms = [gpr.GPR.create(
+        km.SquaredExponential.create(variance=v, lengthscales=3.0)
+        + km.Linear.create(variance=0.1 * v),
+        noise_variance=0.2) for v in (0.5, 1.0, 2.0)]
+    stacked = _assert_fast_matches_xla(ms, X, Y, gtol=2e-2)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_sum"
+
+
+def test_sum_with_periodic_routes_fused():
+    """Menu entry 7 (Exponential + Periodic(SE)): sum-combine with the
+    periodic family, values + gradients, duplicated inputs included."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(100, 10, dup=True)
+    ms = [gpr.GPR.create(
+        km.Exponential.create(variance=v, lengthscales=4.0)
+        + km.Periodic.create(km.SquaredExponential.create(variance=0.8,
+                                                          lengthscales=1.2),
+                             period=p),
+        noise_variance=0.25) for v, p in ((0.6, 6.0), (1.2, 11.0))]
+    stacked = _assert_fast_matches_xla(ms, X, Y, rtol=2e-3)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_sum"
+
+
+def test_menu_entry6_three_term_sum_routes_fused():
+    """Menu entry 6 (Exponential + Periodic(SE) + Linear, GPR/main.py:110):
+    the full 3-atom sum through the fused path, values + gradients."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(90, 11)
+    ms = [gpr.GPR.create(
+        km.Exponential.create(variance=v, lengthscales=5.0)
+        + km.Periodic.create(km.SquaredExponential.create(), period=7.0)
+        + km.Linear.create(variance=0.05),
+        noise_variance=0.3) for v in (0.7, 1.3)]
+    stacked = _assert_fast_matches_xla(ms, X, Y, rtol=2e-3)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_sum"
