@@ -101,8 +101,24 @@ class Portfolio:
         prob_threshold=0.05,
         isLogReturn=True,
         cov: Optional[np.ndarray] = None,
+        batched: Optional[bool] = None,
     ):
-        """Per-day strategy evaluation over the horizon (portfolio.py:92-165)."""
+        """Per-day strategy evaluation over the horizon (portfolio.py:92-165).
+
+        For the static strategies (constant/sharpe/max_return/min_volatility)
+        the whole horizon is solved on device in one jit call
+        (portfolio/batched_eval.py) — the default. `batched=False` forces the
+        sequential host loop; `dynamic` always runs sequentially (its regime
+        switch consumes the previous day's solution).
+        """
+        from portfoliooptgp_tpu.portfolio import batched_eval
+
+        if batched is None:
+            batched = strategy_name in batched_eval.BATCHABLE_STRATEGIES
+        if batched and strategy_name in batched_eval.BATCHABLE_STRATEGIES:
+            return self._evaluate_portfolio_batched(
+                strategy_name, max_volatility, min_return, isLogReturn
+            )
         optimal_weights: List[np.ndarray] = []
         predicted_volatilities: List[float] = []
         cov_matrices: List[np.ndarray] = []
@@ -157,6 +173,45 @@ class Portfolio:
             predicted_volatilities.append(vol)
 
         return optimal_weights, predicted_volatilities
+
+    def _evaluate_portfolio_batched(
+        self, strategy_name, max_volatility, min_return, isLogReturn
+    ):
+        """One-jit-call horizon evaluation (portfolio/batched_eval.py)."""
+        from portfoliooptgp_tpu.portfolio import batched_eval
+
+        mu, var = batched_eval.day_moments(self.returns, self.variances, isLogReturn)
+        opt = self.optimizer
+        W, ret, vol = batched_eval.solve_horizon(
+            strategy_name,
+            mu,
+            var,
+            np.asarray(opt.previous_weights, dtype=float),
+            self.risk_free_rate,
+            opt.lambda_l1,
+            opt.lambda_l2,
+            opt.lambda_tx,
+            max_volatility,
+            min_return,
+            if_tx=opt.if_tx_penalty,
+        )
+        W = np.asarray(W)
+        ret = np.asarray(ret)
+        vol = np.asarray(vol)
+        # sequential parity: the loop leaves the optimizer holding the last
+        # day's moments; previous_weights rolls forward after every solve
+        # (except constant, which never solves)
+        opt.set_predictions(mu[-1], var[-1], self.risk_free_rate)
+        if strategy_name != "constant":
+            opt.set_previous_weights(W[-1])
+        if self.verbose:
+            for day in range(W.shape[0]):
+                r = float(np.exp(ret[day]) - 1.0) if isLogReturn else float(ret[day])
+                self._log(
+                    f"Day {day + 1}: weights ({strategy_name}): {W[day]}, "
+                    f"ret={r:.4%}, vol={vol[day]:.4%}"
+                )
+        return [W[d] for d in range(W.shape[0])], [float(v) for v in vol]
 
     def backtest_portfolio(
         self,

@@ -311,3 +311,25 @@ def _portfolio_fixture_like(rng):
         dynamic_decision="prob_threshold",
     )
     return p, preds, corr
+
+
+@pytest.mark.parametrize("strategy", ["constant", "sharpe", "max_return", "min_volatility"])
+@pytest.mark.parametrize("isLogReturn", [True, False])
+def test_batched_evaluate_matches_sequential(strategy, isLogReturn):
+    """The one-jit-call horizon path (portfolio/batched_eval.py) must produce
+    the sequential loop's solutions on the reference's 5-day config —
+    VERDICT r2 item 8."""
+    p_seq, _, corr = _make_portfolio()
+    p_bat, _, _ = _make_portfolio()
+    kw = dict(strategy_name=strategy, max_volatility=0.02, min_return=0.001,
+              isLogReturn=isLogReturn, cov=corr)
+    w_seq, v_seq = p_seq.evaluate_portfolio(batched=False, **kw)
+    w_bat, v_bat = p_bat.evaluate_portfolio(batched=True, **kw)
+    assert len(w_seq) == len(w_bat) == 5
+    for ws, wb in zip(w_seq, w_bat):
+        np.testing.assert_allclose(wb, ws, atol=2e-5)
+    np.testing.assert_allclose(v_bat, v_seq, atol=2e-5)
+    # optimizer end-state parity (previous_weights roll-forward)
+    np.testing.assert_allclose(
+        p_bat.optimizer.previous_weights, p_seq.optimizer.previous_weights, atol=2e-5
+    )
