@@ -29,7 +29,11 @@ state = init_fn(model)
 Xb = jnp.asarray(X[:BATCH_SZ]); Yb = jnp.asarray(Y[:BATCH_SZ])
 wb = jnp.ones((BATCH_SZ,), jnp.float32)
 
-STEPS = 50
+# STEPS must be large enough to amortize the ~23 ms fixed RPC overhead of one
+# tunnel round-trip: at STEPS=50 that overhead alone is 460 us/step and
+# dominates the measurement (this understated round-2's SVGP number by ~4x).
+# At STEPS=2000 it contributes ~12 us/step (~10%).
+STEPS = 2000
 
 @jax.jit
 def chain(state, Xb, Yb, wb):

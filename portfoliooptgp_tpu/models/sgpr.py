@@ -46,10 +46,10 @@ def _common(model: SGPR, X, Y):
     sigma2 = model.likelihood.variance
     sigma = jnp.sqrt(sigma2)
     err = Y - model.mean_function(X)
-    from portfoliooptgp_tpu.models.svgp import inducing_jitter
+    from portfoliooptgp_tpu.models.svgp import jittered_kuu
 
-    Kuu = linalg.add_diag(model.kernel.K(model.Z), inducing_jitter(model.Z.dtype))
-    Luu, _ = linalg.safe_cholesky(Kuu)
+    Kuu = jittered_kuu(model.kernel, model.Z)
+    Luu, _ = linalg.cholesky_guarded(Kuu)
     Kuf = model.kernel.K(model.Z, X)
     A = linalg.solve_lower(Luu, Kuf) / sigma  # (M, N)
     B = linalg.add_diag(A @ A.T, 1.0)

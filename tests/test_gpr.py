@@ -128,6 +128,32 @@ def test_safe_cholesky_escalates(rng):
     assert np.all(np.isfinite(np.asarray(L)))
 
 
+def test_guarded_cholesky_vjp_matches_autodiff(rng):
+    # the closed-form Murray reverse-mode formula in _cholesky_nan_guarded
+    # must agree with jax's own cholesky VJP (incl. symmetrization)
+    A = rng.normal(size=(7, 7))
+    K = jnp.asarray(A @ A.T + 7 * np.eye(7))
+    ct = jnp.asarray(rng.normal(size=(7, 7)).astype(np.asarray(K).dtype))
+    g_ref = jax.vjp(jnp.linalg.cholesky, K)[1](ct)[0]
+    g_own = jax.vjp(linalg._cholesky_nan_guarded, K)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g_own), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_guarded_cholesky_failure_zero_grad(rng):
+    # non-PSD input: L is NaN, ok is False, and the VJP is exactly zero
+    # (not NaN) so masked restarts don't poison a vmapped batch
+    Kbad = -jnp.eye(5) * 4.0
+
+    def f(K):
+        L, _ = linalg.cholesky_guarded(K)
+        return jnp.sum(L)
+
+    L, ok = linalg.cholesky_guarded(Kbad)
+    assert not bool(ok)
+    g = jax.grad(f)(Kbad)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
 def test_lml_under_jit(rng):
     X, Y = make_data(rng)
     model = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=0.1)
