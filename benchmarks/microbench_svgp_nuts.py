@@ -54,28 +54,39 @@ sps = STEPS / min(times)
 print(f"SVGP ELBO steps/s (N={N}, M={M}, batch={BATCH_SZ}): {sps:,.0f}  (loss {float(loss):.1f})")
 
 # ---- NUTS: hyperparameter posterior of an exact GPR, 8 chains ----
-from portfoliooptgp_tpu.inference.sampler import sample_nuts
+# The target is the PROPER posterior: marginal likelihood x weak N(init, 2^2)
+# prior on raw hyperparameters (centered_normal_logprior). The bare marginal
+# likelihood is an improper ridge posterior that forces ~0.01 step sizes and
+# 127-leaf trees; the proper target needs ~8 (see sampler.py docstring).
+# One flat-prior line is kept to show that geometry cost explicitly.
+from portfoliooptgp_tpu.inference.sampler import sample_nuts, centered_normal_logprior
 
 Ng = 128
 Xg = jnp.asarray(np.sort(rng.uniform(0, 60, (Ng, 1))), jnp.float32)
 Yg = jnp.sin(Xg / 8.0) + 0.1 * jnp.asarray(rng.normal(size=(Ng, 1)), jnp.float32)
 m0 = gpr.GPR.create(km.SquaredExponential.create(1.0, 5.0), noise_variance=0.1)
 m0 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), m0)
-
-def logdensity(m):
-    return gpr.log_marginal_likelihood(m, Xg, Yg)
+logprior = centered_normal_logprior(m0)
 
 NW, NS, NC = 100, 200, 8
 
-from portfoliooptgp_tpu.inference.fused_logdensity import gpr_logdensity_pair
-fused_logp, fused_grad = gpr_logdensity_pair(Xg, Yg)
+from portfoliooptgp_tpu.inference.fused_logdensity import (
+    gpr_logdensity_pair, gpr_logdensity_vg)
 
-def measure(name, logp, grad):
+def logdensity(m):
+    return gpr.log_marginal_likelihood(m, Xg, Yg) + logprior(m)
+
+fused_logp, fused_grad = gpr_logdensity_pair(Xg, Yg, logprior_fn=logprior)
+fused_vg = gpr_logdensity_vg(Xg, Yg, logprior_fn=logprior)
+flat_logp, _ = gpr_logdensity_pair(Xg, Yg)
+flat_vg = gpr_logdensity_vg(Xg, Yg)
+
+def measure(name, logp, grad, vg=None):
     @jax.jit
     def run(key):
         samples, stats = sample_nuts(logp, m0, key, num_warmup=NW,
                                      num_samples=NS, num_chains=NC,
-                                     max_depth=8, grad_fn=grad)
+                                     max_depth=8, grad_fn=grad, vg_fn=vg)
         return jax.tree.leaves(samples)[0], stats.accept_prob.mean()
 
     s0, acc = run(jax.random.key(0))
@@ -91,4 +102,6 @@ def measure(name, logp, grad):
           f"{total_draws/min(times):,.0f}  (mean accept {float(acc):.2f})")
 
 measure("vmapped XLA", logdensity, None)
-measure("fused pallas logdensity", fused_logp, fused_grad)
+measure("fused pallas joint v+g", fused_logp, None, fused_vg)
+measure("fused pallas pair (sep logp/grad)", fused_logp, fused_grad)
+measure("fused v+g, improper flat-prior ridge", flat_logp, None, flat_vg)

@@ -265,6 +265,7 @@ def cmd_nuts(args):
     from portfoliooptgp_tpu import kernels as km
     from portfoliooptgp_tpu.data.handler import DataHandler
     from portfoliooptgp_tpu.inference import sample_nuts
+    from portfoliooptgp_tpu.inference.sampler import centered_normal_logprior
     from portfoliooptgp_tpu.models import gpr
 
     cfg = _load_config(args)
@@ -273,12 +274,20 @@ def cmd_nuts(args):
                      data_root=cfg.data.data_root)
     X, Y, *_ = dh.process_data("Stocks", args.ticker, "d",
                                predict_Y=cfg.data.predict_y)
-    model = gpr.GPR.create(km.SquaredExponential.create(),
-                           noise_variance=cfg.train.noise_variance)
+    # init noise at a sampling-friendly 1e-2, NOT the MLE parity pin of
+    # 1e-5 (cfg.train.noise_variance): at sigma^2=1e-5 the posterior
+    # geometry is near-singular (curvature ~1/lambda_min of K) and NUTS
+    # needs 1e-7 step sizes. The posterior over noise is what this command
+    # infers, so the init only needs to be in a sane basin.
+    model = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=1e-2)
+
+    # weak prior CENTERED AT THE INIT: an N(0,1) prior on raw params fights
+    # a 1e-5 noise init (raw ~ -11.5) and makes the posterior near-singular
+    # (this produced accept=nan); see sampler.centered_normal_logprior
+    logprior = centered_normal_logprior(model)
 
     def logdensity(m):
-        flat, _ = jax.flatten_util.ravel_pytree(m)
-        return gpr.log_marginal_likelihood(m, X, Y) - 0.5 * jax.numpy.sum(flat**2)
+        return gpr.log_marginal_likelihood(m, X, Y) + logprior(m)
 
     samples, stats = sample_nuts(
         logdensity, model, jax.random.PRNGKey(cfg.seed),

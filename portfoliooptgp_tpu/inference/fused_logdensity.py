@@ -80,3 +80,38 @@ def gpr_logdensity_pair(X, Y, logprior_fn: Optional[Callable] = None):
         return g, jax.tree.map(lambda _: True, g)
 
     return logp, grad
+
+
+def gpr_logdensity_vg(X, Y, logprior_fn: Optional[Callable] = None):
+    """Joint (logp, grad) in ONE fused evaluation per call — halves the
+    Pallas launches per leapfrog vs calling the pair from
+    `gpr_logdensity_pair` separately (each re-runs the forward). The chain
+    batching rule uses `jax.vjp` of the batched NLL so per-chain values and
+    gradients come out of a single fused forward+backward."""
+
+    def scalar_logp(m):
+        lp = gpr.log_marginal_likelihood(m, X, Y)
+        if logprior_fn is not None:
+            lp = lp + logprior_fn(m)
+        return lp
+
+    def batched_logp(ms):
+        lp = -gpr.batched_neg_log_marginal_likelihood(ms, X, Y)
+        if logprior_fn is not None:
+            lp = lp + jax.vmap(logprior_fn)(ms)
+        return lp
+
+    def scalar_vg(m):
+        return jax.value_and_grad(scalar_logp)(m)
+
+    vg = custom_vmap(scalar_vg)
+
+    @vg.def_vmap
+    def _vg_rule(axis_size, in_batched, m):
+        mb = _broadcast_unbatched(axis_size, in_batched[0], m)
+        vals, pullback = jax.vjp(batched_logp, mb)
+        (g,) = pullback(jnp.ones_like(vals))
+        out_batched = (True, jax.tree.map(lambda _: True, g))
+        return (vals, g), out_batched
+
+    return vg

@@ -50,6 +50,7 @@ class _SubtreeState(NamedTuple):
     leaf: _Leaf  # integration frontier (last leaf)
     prop_q: jnp.ndarray
     prop_logp: jnp.ndarray
+    prop_grad: jnp.ndarray
     log_w: jnp.ndarray  # logsumexp of leaf weights in subtree
     rho: jnp.ndarray  # momentum sum over subtree
     first_p: jnp.ndarray  # momentum of subtree's first leaf
@@ -63,18 +64,17 @@ class _SubtreeState(NamedTuple):
     key: jnp.ndarray
 
 
-def _single_leapfrog(grad_fn, leaf: _Leaf, eps, inv_mass, h0, logp_fn):
+def _single_leapfrog(vg_fn, leaf: _Leaf, eps, inv_mass):
     p_half = leaf.p + 0.5 * eps * leaf.grad
     q_new = leaf.q + eps * inv_mass * p_half
-    g_new = grad_fn(q_new)
+    logp_new, g_new = vg_fn(q_new)  # ONE fused eval for value AND gradient
     p_new = p_half + 0.5 * eps * g_new
-    logp_new = logp_fn(q_new)
     energy = -logp_new + 0.5 * jnp.sum(p_new * p_new * inv_mass)
     energy = jnp.where(jnp.isfinite(energy), energy, jnp.inf)
     return _Leaf(q_new, p_new, g_new, logp_new, energy)
 
 
-def _build_subtree(logp_fn, grad_fn, start: _Leaf, depth, eps, inv_mass, h0,
+def _build_subtree(vg_fn, start: _Leaf, depth, eps, inv_mass, h0,
                    max_depth, key):
     """Integrate 2^depth leaves from `start` (exclusive) in the direction of
     the sign of eps, with streaming multinomial proposal and iterative
@@ -85,7 +85,7 @@ def _build_subtree(logp_fn, grad_fn, start: _Leaf, depth, eps, inv_mass, h0,
 
     init = _SubtreeState(
         leaf=start,
-        prop_q=start.q, prop_logp=start.logp,
+        prop_q=start.q, prop_logp=start.logp, prop_grad=start.grad,
         log_w=jnp.asarray(-jnp.inf, dtype),
         rho=jnp.zeros((dim,), dtype),
         first_p=jnp.zeros((dim,), dtype),
@@ -102,20 +102,28 @@ def _build_subtree(logp_fn, grad_fn, start: _Leaf, depth, eps, inv_mass, h0,
         i, st = carry
         return (i < n_leaves) & ~st.turning & ~st.diverging
 
+    slot_iota = jnp.arange(max_depth + 1, dtype=jnp.int32)
+    ks = jnp.arange(1, max_depth + 1, dtype=jnp.int32)  # checked subtree depths
+
     def body(carry):
         i, st = carry
         j = i + 1  # 1-based leaf index within the subtree
-        leaf = _single_leapfrog(grad_fn, st.leaf, eps, inv_mass, h0, logp_fn)
+        leaf = _single_leapfrog(vg_fn, st.leaf, eps, inv_mass)
         log_w_leaf = h0 - leaf.energy
         diverging = (leaf.energy - h0) > MAX_DELTA_ENERGY
         accept_stat = jnp.minimum(1.0, jnp.exp(log_w_leaf))
 
         # store checkpoint: this leaf may be the left endpoint of a later
-        # aligned subtree; slot = ctz(j-1), with the first leaf in the top slot
+        # aligned subtree; slot = ctz(j-1), with the first leaf in the top
+        # slot. One-hot masked writes, NOT .at[slot].set: a traced index
+        # under the chain vmap lowers to scatter, which serializes on TPU —
+        # the masked dense write over the tiny (max_depth+1, dim) buffer is
+        # a fused VPU op.
         slot = jnp.where(i == 0, max_depth, _ctz(jnp.maximum(i, 1)))
-        ck_q = st.ck_q.at[slot].set(leaf.q)
-        ck_p = st.ck_p.at[slot].set(leaf.p)
-        ck_rho_before = st.ck_rho_before.at[slot].set(st.rho)
+        write = (slot_iota == slot)[:, None]
+        ck_q = jnp.where(write, leaf.q[None, :], st.ck_q)
+        ck_p = jnp.where(write, leaf.p[None, :], st.ck_p)
+        ck_rho_before = jnp.where(write, st.rho[None, :], st.ck_rho_before)
 
         rho = st.rho + leaf.p
         first_p = jnp.where(i == 0, leaf.p, st.first_p)
@@ -126,27 +134,32 @@ def _build_subtree(logp_fn, grad_fn, start: _Leaf, depth, eps, inv_mass, h0,
         take = jnp.log(jax.random.uniform(k_u, dtype=dtype)) < (log_w_leaf - log_w_new)
         prop_q = jnp.where(take, leaf.q, st.prop_q)
         prop_logp = jnp.where(take, leaf.logp, st.prop_logp)
+        prop_grad = jnp.where(take, leaf.grad, st.prop_grad)
 
-        # intra-subtree U-turn checks at every aligned power-of-two boundary
+        # intra-subtree U-turn checks at every aligned power-of-two boundary,
+        # vectorized over all candidate depths k=1..max_depth at once
+        # (one-hot reads of the checkpoint buffers instead of gathers)
         tz = _ctz(j)
-
-        def check(k, turning):
-            size = jnp.asarray(1, jnp.int32) << k
-            s = j - size + 1  # start leaf (1-based)
-            slot_k = jnp.where(s == 1, max_depth, _ctz(s - 1))
-            rho_sub = rho - st.ck_rho_before[slot_k] + 0.0
-            # guard: rho_before for s==1 is zero vector (buffer initialized 0)
-            p_left = st.ck_p[slot_k]
-            p_left = jnp.where(s == 1, first_p, p_left)
-            rho_sub = jnp.where(s == 1, rho, rho_sub)
-            turn_k = (jnp.dot(rho_sub, p_left) < 0) | (jnp.dot(rho_sub, leaf.p) < 0)
-            applies = (k >= 1) & (k <= tz)
-            return turning | (applies & turn_k)
-
-        turning = jax.lax.fori_loop(1, max_depth + 1, check, st.turning)
+        sizes = jnp.asarray(1, jnp.int32) << ks
+        s = j - sizes + 1  # start leaf (1-based) of each candidate subtree
+        slot_k = jnp.where(s == 1, max_depth, _ctz(jnp.maximum(s - 1, 1)))
+        # read the PRE-write buffers (st.ck_*): a checked subtree's start
+        # leaf is always < j, so leaf j's own checkpoint is never needed
+        onehot = (slot_k[:, None] == slot_iota[None, :]).astype(dtype)  # (K, S)
+        rho_before_k = onehot @ st.ck_rho_before  # (K, dim)
+        p_left_k = onehot @ st.ck_p
+        is_first = (s == 1)[:, None]
+        rho_sub = jnp.where(is_first, rho[None, :], rho[None, :] - rho_before_k)
+        p_left = jnp.where(is_first, first_p[None, :], p_left_k)
+        turn_k = (jnp.sum(rho_sub * p_left, axis=1) < 0) | (
+            jnp.sum(rho_sub * leaf.p[None, :], axis=1) < 0
+        )
+        applies = ks <= tz
+        turning = st.turning | jnp.any(applies & turn_k)
 
         st = _SubtreeState(
-            leaf=leaf, prop_q=prop_q, prop_logp=prop_logp, log_w=log_w_new,
+            leaf=leaf, prop_q=prop_q, prop_logp=prop_logp,
+            prop_grad=prop_grad, log_w=log_w_new,
             rho=rho, first_p=first_p,
             sum_accept=st.sum_accept + accept_stat,
             turning=turning, diverging=st.diverging | diverging,
@@ -165,13 +178,17 @@ class NUTSInfo(NamedTuple):
     depth: jnp.ndarray
 
 
-def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
-              max_depth: int = 10):
-    """One NUTS transition on flat parameters. Returns (q', logp', info)."""
+def nuts_step(vg_fn, q, logp, key, step_size, inv_mass,
+              max_depth: int = 10, grad0=None):
+    """One NUTS transition on flat parameters. `vg_fn(q) -> (logp, grad)`
+    evaluates value and gradient jointly (one fused call per leapfrog).
+    `grad0` (optional) is the gradient at q, carried over from the previous
+    transition's final leaf so the root needs no extra evaluation.
+    Returns (q', logp', grad', info)."""
     dtype = q.dtype
     key, k_mom = jax.random.split(key)
     p0 = jax.random.normal(k_mom, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
-    g0 = grad_fn(q)
+    g0 = grad0 if grad0 is not None else vg_fn(q)[1]
     h0 = -logp + 0.5 * jnp.sum(p0 * p0 * inv_mass)
     root = _Leaf(q=q, p=p0, grad=g0, logp=logp, energy=h0)
 
@@ -183,6 +200,7 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
         rho: jnp.ndarray
         prop_q: jnp.ndarray
         prop_logp: jnp.ndarray
+        prop_grad: jnp.ndarray
         log_w: jnp.ndarray
         sum_accept: jnp.ndarray
         num_leaves: jnp.ndarray
@@ -191,7 +209,8 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
 
     init = Carry(
         key=key, depth=jnp.asarray(0, jnp.int32), left=root, right=root,
-        rho=p0, prop_q=q, prop_logp=logp, log_w=jnp.asarray(0.0, dtype),
+        rho=p0, prop_q=q, prop_logp=logp, prop_grad=g0,
+        log_w=jnp.asarray(0.0, dtype),
         sum_accept=jnp.asarray(0.0, dtype), num_leaves=jnp.asarray(0, jnp.int32),
         turning=jnp.asarray(False), diverging=jnp.asarray(False),
     )
@@ -207,7 +226,7 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
             lambda a, b: jnp.where(go_right, a, b), c.right, c.left
         )
         st = _build_subtree(
-            logp_fn, grad_fn, start, c.depth, eps, inv_mass, h0, max_depth, k_sub
+            vg_fn, start, c.depth, eps, inv_mass, h0, max_depth, k_sub
         )
         sub_leaves = jnp.asarray(1, jnp.int32) << c.depth
         sum_accept = c.sum_accept + st.sum_accept
@@ -221,6 +240,7 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
         ) & ~bad_subtree
         prop_q = jnp.where(take, st.prop_q, c.prop_q)
         prop_logp = jnp.where(take, st.prop_logp, c.prop_logp)
+        prop_grad = jnp.where(take, st.prop_grad, c.prop_grad)
         log_w = jnp.where(bad_subtree, c.log_w, jnp.logaddexp(c.log_w, st.log_w))
 
         new_right = jax.tree.map(
@@ -235,7 +255,8 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
         full_turn = (jnp.dot(rho, new_left.p) < 0) | (jnp.dot(rho, new_right.p) < 0)
         return Carry(
             key=key, depth=c.depth + 1, left=new_left, right=new_right,
-            rho=rho, prop_q=prop_q, prop_logp=prop_logp, log_w=log_w,
+            rho=rho, prop_q=prop_q, prop_logp=prop_logp, prop_grad=prop_grad,
+            log_w=log_w,
             sum_accept=sum_accept, num_leaves=num_leaves,
             turning=c.turning | bad_subtree | (full_turn & ~bad_subtree),
             diverging=c.diverging | st.diverging,
@@ -247,4 +268,4 @@ def nuts_step(logp_fn, grad_fn, q, logp, key, step_size, inv_mass,
         accept_prob=accept_prob, num_leaves=out.num_leaves,
         diverging=out.diverging, depth=out.depth,
     )
-    return out.prop_q, out.prop_logp, info
+    return out.prop_q, out.prop_logp, out.prop_grad, info

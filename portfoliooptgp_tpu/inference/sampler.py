@@ -19,6 +19,29 @@ from portfoliooptgp_tpu.inference import hmc as hmc_mod
 from portfoliooptgp_tpu.inference import nuts as nuts_mod
 
 
+def centered_normal_logprior(init_params, scale: float = 2.0):
+    """Weakly-informative N(init, scale²) log-prior over the raw
+    (unconstrained) hyperparameters, for use as `logprior_fn`.
+
+    Sampling the bare GPR marginal likelihood (a flat prior on raw
+    softplus-parameters) targets an improper ridge posterior — the
+    variance↔lengthscale ridge is barely integrable and forces NUTS into
+    ~0.01 step sizes and 127-leaf trees (measured on the N=128 bench
+    posterior; 5 orders of magnitude eigen-spread in the sample covariance).
+    A weak prior centered at the initialization makes the posterior proper:
+    same acceptance target, ~8-leaf trees, 10× the draws/s. This mirrors
+    standard practice for GP MCMC (e.g. gpflow's MCMC notebooks place
+    priors on every hyperparameter before running HMC)."""
+    flat0, _ = ravel_pytree(init_params)
+    inv2 = 1.0 / (scale * scale)
+
+    def logprior(m):
+        z, _ = ravel_pytree(m)
+        return -0.5 * inv2 * jnp.sum((z - flat0) ** 2)
+
+    return logprior
+
+
 class SampleStats(NamedTuple):
     accept_prob: jnp.ndarray
     num_leaves: jnp.ndarray
@@ -37,14 +60,25 @@ def _warmup_and_sample_flat(
     target_accept: float,
     axis_name: Optional[str],
     grad_fn: Optional[Callable] = None,
+    vg_fn: Optional[Callable] = None,
 ):
-    grad_fn = grad_fn if grad_fn is not None else jax.grad(logp_fn)
+    if grad_fn is None:
+        grad_fn = (lambda z: vg_fn(z)[1]) if vg_fn is not None else jax.grad(logp_fn)
+    if vg_fn is None:
+        vg_fn = (lambda z: (logp_fn(z), grad_fn(z)))
     dtype = q0.dtype
     dim = q0.shape[0]
 
     inv_mass0 = jnp.ones((dim,), dtype)
     key, k_eps = jax.random.split(key)
     eps0 = hmc_mod.find_reasonable_step_size(logp_fn, grad_fn, q0, inv_mass0, k_eps)
+    if axis_name is not None:
+        # shared adaptation: geometric-mean initial step so every lockstep
+        # chain adapts the SAME step size. Without this, chains adapt step
+        # sizes differing by >10x, and since vmapped chains integrate in
+        # lockstep, one small-step chain forces maximal trees on all of them
+        # (measured: per-chain mean 62 leaves/draw but lockstep mean 207).
+        eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), axis_name))
     da = hmc_mod.da_init(eps0)
     wf = hmc_mod.welford_init(dim, dtype)
 
@@ -52,11 +86,11 @@ def _warmup_and_sample_flat(
     mass_end = int(num_warmup * 0.9)
 
     def warmup_step(carry, i):
-        q, logp, key, da, wf, inv_mass = carry
+        q, logp, grad, key, da, wf, inv_mass = carry
         key, k_step = jax.random.split(key)
         eps = jnp.exp(da.log_step)
-        q, logp, info = nuts_mod.nuts_step(
-            logp_fn, grad_fn, q, logp, k_step, eps, inv_mass, max_depth
+        q, logp, grad, info = nuts_mod.nuts_step(
+            vg_fn, q, logp, k_step, eps, inv_mass, max_depth, grad0=grad
         )
         accept = info.accept_prob
         if axis_name is not None:
@@ -76,25 +110,25 @@ def _warmup_and_sample_flat(
             lambda fresh, old: jnp.where(at_switch, fresh, old),
             hmc_mod.da_init(jnp.exp(da.log_step)), da,
         )
-        return (q, logp, key, da, wf, inv_mass), None
+        return (q, logp, grad, key, da, wf, inv_mass), None
 
-    logp0 = logp_fn(q0)
-    (q, logp, key, da, wf, inv_mass), _ = jax.lax.scan(
-        warmup_step, (q0, logp0, key, da, wf, inv_mass0),
+    logp0, grad0 = vg_fn(q0)
+    (q, logp, grad, key, da, wf, inv_mass), _ = jax.lax.scan(
+        warmup_step, (q0, logp0, grad0, key, da, wf, inv_mass0),
         jnp.arange(num_warmup),
     )
     eps_final = jnp.exp(da.log_step_avg)
 
     def sample_step(carry, _):
-        q, logp, key = carry
+        q, logp, grad, key = carry
         key, k_step = jax.random.split(key)
-        q, logp, info = nuts_mod.nuts_step(
-            logp_fn, grad_fn, q, logp, k_step, eps_final, inv_mass, max_depth
+        q, logp, grad, info = nuts_mod.nuts_step(
+            vg_fn, q, logp, k_step, eps_final, inv_mass, max_depth, grad0=grad
         )
-        return (q, logp, key), (q, info.accept_prob, info.num_leaves, info.diverging)
+        return (q, logp, grad, key), (q, info.accept_prob, info.num_leaves, info.diverging)
 
-    (_, _, _), (qs, accepts, leaves, divs) = jax.lax.scan(
-        sample_step, (q, logp, key), None, length=num_samples
+    (_, _, _, _), (qs, accepts, leaves, divs) = jax.lax.scan(
+        sample_step, (q, logp, grad, key), None, length=num_samples
     )
     stats = SampleStats(
         accept_prob=accepts, num_leaves=leaves, diverging=divs,
@@ -114,12 +148,25 @@ def sample_nuts(
     target_accept: float = 0.8,
     axis_name: Optional[str] = None,
     grad_fn: Optional[Callable] = None,
+    vg_fn: Optional[Callable] = None,
+    share_adaptation: bool = True,
 ):
     """Sample a pytree-parameter posterior with multi-chain NUTS.
 
-    `grad_fn` (pytree → pytree, optional) overrides jax.grad(logdensity_fn):
-    pass the pair from `inference.fused_logdensity.gpr_logdensity_pair` to
-    evaluate all chains' leapfrogs in one fused Pallas NLL call each.
+    `grad_fn` (pytree → pytree, optional) overrides jax.grad(logdensity_fn).
+    `vg_fn` (pytree → (scalar, pytree), optional) evaluates log-density and
+    gradient JOINTLY — one fused forward+backward per leapfrog instead of
+    two separate evaluations; pass
+    `inference.fused_logdensity.gpr_logdensity_vg(X, Y)` to run all chains'
+    leapfrogs through one fused Pallas NLL call each.
+
+    `share_adaptation` (default True) pools step-size/mass adaptation
+    statistics across the vmapped chain axis (and, with `axis_name`, across
+    devices). Vmapped chains integrate in lockstep, so per-chain step sizes
+    make every chain pay for the deepest tree in the batch; a shared step
+    size equalizes tree depths (3-6x wall-clock on the 8-chain GPR
+    posterior bench) and is the standard choice for vectorized-chain
+    samplers. Posterior correctness does not depend on the step size.
 
     Returns (samples_pytree with leading axes [chain, draw], SampleStats).
     """
@@ -133,16 +180,31 @@ def sample_nuts(
         def grad_flat(z):
             return ravel_pytree(grad_fn(unravel(z)))[0]
 
+    vg_flat = None
+    if vg_fn is not None:
+        def vg_flat(z):
+            v, g = vg_fn(unravel(z))
+            return v, ravel_pytree(g)[0]
+    elif grad_fn is None:
+        # one traced fwd+bwd instead of separate logp and grad programs
+        vg_flat = jax.value_and_grad(logp_flat)
+
+    chain_axis = "__chains__" if (share_adaptation and num_chains > 1) else None
+    if chain_axis is not None and axis_name is not None:
+        adapt_axes: Optional[object] = (chain_axis, axis_name)
+    else:
+        adapt_axes = chain_axis or axis_name
+
     def one_chain(key):
         key, k_init = jax.random.split(key)
         # jitter chain inits around the provided point
         q0 = flat0 + 0.1 * jax.random.normal(k_init, flat0.shape, dtype=flat0.dtype)
         return _warmup_and_sample_flat(
             logp_flat, q0, key, num_warmup, num_samples, max_depth,
-            target_accept, axis_name, grad_fn=grad_flat,
+            target_accept, adapt_axes, grad_fn=grad_flat, vg_fn=vg_flat,
         )
 
     keys = jax.random.split(key, num_chains)
-    qs, stats = jax.vmap(one_chain)(keys)  # (chain, draw, dim)
+    qs, stats = jax.vmap(one_chain, axis_name=chain_axis)(keys)  # (chain, draw, dim)
     samples = jax.vmap(jax.vmap(unravel))(qs)
     return samples, stats
