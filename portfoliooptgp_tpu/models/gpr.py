@@ -263,7 +263,7 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         and X.dtype == jnp.float32
         and params_f32
         and Y.shape[1] == 1
-        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_supported(n))
+        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_preferred(n))
     ):
         return "xla"
     spec = fused_stationary_spec(stacked_model, X)
@@ -284,8 +284,9 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
       fully-fused build-in-VMEM Pallas kernel (K never materialized in HBM);
     - other kernels, N ≤ 256 → dense (B,N,N) K + in-VMEM Pallas factor
       (ops/pallas/nll.py);
-    - 256 < N ≤ 4096 → blocked Pallas-panel + MXU-syrk Cholesky
-      (ops/pallas/blocked_nll.py);
+    - 256 < N ≤ 1024 → blocked Pallas-panel + MXU-syrk Cholesky
+      (ops/pallas/blocked_nll.py; wins vs XLA only up to this N — see
+      blocked_nll.BLOCKED_PREFERRED_N);
     - otherwise the vmapped XLA path.
     All tiers share the same custom-VJP contract, return (B,) losses, and
     record their dispatch decision in `DISPATCH_EVENTS` at trace time."""

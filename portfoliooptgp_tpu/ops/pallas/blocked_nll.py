@@ -49,35 +49,81 @@ def blocked_nll_supported(n: int) -> bool:
     return n + ((-n) % 128) <= MAX_BLOCKED_N
 
 
+# Measured on v5e (2026-08-20, value+grad vs XLA batched cholesky pipeline):
+# the blocked path wins at N ≤ 1024 (1.3-1.6×) and loses beyond (0.8× at
+# N=2048, ~0.4× at N=4096): the trailing syrk einsums run near the MXU
+# roofline either way, while the panel factor's sequential column loop costs
+# ~1 µs/column regardless of N — at large N, XLA's own blocked factorization
+# amortizes that better. gpr dispatch prefers XLA above this cutoff.
+BLOCKED_PREFERRED_N = 1024
+
+
+def blocked_nll_preferred(n: int) -> bool:
+    return n + ((-n) % 128) <= BLOCKED_PREFERRED_N
+
+
+SUBP = 64  # sub-panel width: rank-1s stay inside their sub-panel's columns;
+# the deferred update of the panel's remaining columns is one MXU dot per
+# batch sublane at each sub-panel boundary (same scheme as nll._blocked_chol)
+
+
 def _panel_kernel(P_ref, Lp_ref, logdet_ref, *, nt, b_tile):
     """Factor a (PW cols, b, nt rows) panel in place.
 
     The panel's diagonal block sits at rows 0..PW (row r of the panel is
     global row p0+r, column j is global column p0+j). Emits the panel of L
     and each program's Σ log diag contribution.
+
+    The column loop is SUBP-blocked: each rank-1 touches only its own
+    sub-panel's columns (×nt rows), and the update of the panel columns
+    beyond the sub-panel is applied at the boundary as a per-sublane 2D
+    `dot_general` on the MXU (Mosaic cannot lower a 3D batched dot). The
+    multiplier rows live at lanes 0..PW (the diagonal block is the panel's
+    top), so the gemm's left operand is a 128-aligned lane slice.
     """
     dtype = P_ref.dtype
+    hi = jax.lax.Precision.HIGHEST
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)  # (1, nt) row ids
     Lp_ref[...] = P_ref[...]
+    logdet = jnp.zeros((b_tile, 1), dtype)
 
-    def body(j, logdet):
-        col = Lp_ref[j]  # (b, nt): column j over trailing rows
-        onehot = (lanes == j).astype(dtype)
-        d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)
-        d = jnp.sqrt(d2)
-        below = (lanes > j).astype(dtype)
-        m = col * below / d  # (b, nt) strictly-below column of L
-        # rank-1 on the remaining panel columns c>j: multiplier is m at the
-        # panel row matching column c (static lane slice [:PW] then swap)
-        head = jax.lax.slice_in_dim(m, 0, PW, axis=1)  # (b, PW)
-        mT = jnp.swapaxes(head, 0, 1)[:, :, None]  # (PW, b, 1)
-        Lp_ref[...] = Lp_ref[...] - mT * m[None, :, :]
-        Lp_ref[j, :, :] = m + d * onehot
-        return logdet + jnp.log(d)
+    for off in range(0, PW, SUBP):
+        p1 = off + SUBP
 
-    # i32 bounds: i64 loop carries (x64 mode) break Mosaic lowering
-    logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(PW), body,
-                               jnp.zeros((b_tile, 1), dtype))
+        def body(j, logdet, off=off, p1=p1):
+            i = off + j
+            col = Lp_ref[i]  # (b, nt): column i over trailing rows
+            onehot = (lanes == i).astype(dtype)
+            d2 = jnp.sum(col * onehot, axis=-1, keepdims=True)
+            d = jnp.sqrt(d2)
+            below = (lanes > i).astype(dtype)
+            m = col * below / d  # (b, nt) strictly-below column of L
+            # rank-1 restricted to this sub-panel's own columns c in (i, p1):
+            # the multiplier is m at the panel row matching column c, i.e.
+            # lanes off..p1 (zero at lanes <= i, so finished columns are safe)
+            mT_full = jnp.swapaxes(m, 0, 1)[:, :, None]  # (nt, b, 1)
+            mT = jax.lax.slice_in_dim(mT_full, off, p1, axis=0)  # (SUBP, b, 1)
+            Lp_ref[off:p1, :, :] = Lp_ref[off:p1, :, :] - mT * m[None, :, :]
+            Lp_ref[i, :, :] = m + d * onehot
+            return logdet + jnp.log(d)
+
+        # i32 bounds: i64 loop carries (x64 mode) break Mosaic lowering
+        logdet = jax.lax.fori_loop(jnp.int32(0), jnp.int32(SUBP), body, logdet)
+
+        if p1 < PW:
+            # deferred update of panel columns p1..PW from this sub-panel's
+            # SUBP finished columns: G[c, r] = Σ_j L[c, j]·L[r, j] with the
+            # c-multipliers read from the stored columns' head lanes [0, 128)
+            for b in range(b_tile):
+                M = Lp_ref[off:p1, b, :]  # (SUBP, nt) finished columns
+                Mh = jax.lax.slice_in_dim(M, 0, 128, axis=1)  # (SUBP, 128)
+                G = jax.lax.dot_general(
+                    Mh, M, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=hi,
+                )  # (128, nt); rows < p1 are garbage and never read
+                Gt = jax.lax.slice_in_dim(G, p1, PW, axis=0)  # (PW-p1, nt)
+                Lp_ref[p1:PW, b, :] = Lp_ref[p1:PW, b, :] - Gt
+
     logdet_ref[...] = jnp.broadcast_to(logdet, (b_tile, 128))
 
 
@@ -138,6 +184,85 @@ def blocked_cholesky(Ks, interpret=None):
     return L, logdet
 
 
+def blocked_triangular_inverse(L, interpret=None):
+    """W = L⁻¹ for a batch of (B, Np, Np) lower-triangular factors, built for
+    the MXU instead of XLA's sequential `triangular_solve` (which was ~55% of
+    the blocked NLL value+grad at N=512-1024 on v5e).
+
+    Hierarchical block inversion:
+    1. every PW-diagonal block is inverted by the lanes-batched Pallas
+       forward-substitution kernel (ops/pallas/nll._trinv_kernel), all
+       B·P blocks in one call;
+    2. log2(P) pairwise-combine levels assemble ever-larger inverses with
+        [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+       — two batched einsums per level over all pairs at once, so the whole
+       O(N³) off-diagonal work is a handful of MXU gemms.
+
+    P is padded to a power of two with identity blocks (their inverse is
+    identity, sliced away at the end). Precision pins HIGHEST like the
+    forward syrk (bf16 passes compound across levels).
+    """
+    from portfoliooptgp_tpu.ops.pallas.nll import triangular_inverse_pallas
+
+    if interpret is None:
+        interpret = _interpret_default()
+    B, Np, _ = L.shape
+    dtype = L.dtype
+    P = Np // PW
+    P2 = 1 << (P - 1).bit_length()  # next power of two
+    if P2 != P:
+        pad_n = (P2 - P) * PW
+        L = jnp.pad(L, ((0, 0), (0, pad_n), (0, pad_n)))
+        eye_tail = jnp.concatenate(
+            [jnp.zeros((Np,), dtype), jnp.ones((pad_n,), dtype)]
+        )
+        L = L + jnp.diag(eye_tail)[None]
+        P = P2
+    Npad = P * PW
+
+    # 1) all diagonal PW-blocks in one Pallas call, batched on sublanes.
+    # Grid programs execute sequentially on the core, so pack as many
+    # blocks per program as VMEM allows — at b_tile=8 the 128-step column
+    # loop repeats B·P/8 times and overhead dominates.
+    blocks = L.reshape(B, P, PW, P, PW)
+    diag = jnp.diagonal(blocks, axis1=1, axis2=3)  # (B, PW, PW, P)
+    flat = jnp.transpose(diag, (0, 3, 1, 2)).reshape(B * P, PW, PW)
+    A_layout = jnp.transpose(flat, (2, 0, 1))  # (col, B·P, row)
+    BP = B * P
+    b_tile = next(t for t in (32, 16, 8) if BP % t == 0)
+    W_layout = triangular_inverse_pallas(A_layout, b_tile=b_tile,
+                                         interpret=interpret)
+    cur = jnp.transpose(W_layout, (1, 0, 2)).reshape(B, P, PW, PW)
+
+    # 2) pairwise combine: nb blocks of width w -> nb/2 blocks of width 2w
+    # backward-only math: 3-pass bf16 ("high") is 1.5-2x faster than
+    # "highest" on the MXU and costs ~1e-5 relative error in the gradient
+    # (measured vs highest; the parity gates test grads at ~1e-4)
+    hi = jax.lax.Precision.HIGH
+    w = PW
+    while cur.shape[1] > 1:
+        nb2 = cur.shape[1] // 2
+        WA = cur[:, 0::2]  # (B, nb2, w, w)
+        WC = cur[:, 1::2]
+        # subdiagonal L21 block of each pair: rows of C, columns of A
+        Lp = L.reshape(B, nb2, 2, w, nb2, 2, w)
+        L21 = jnp.transpose(
+            jnp.diagonal(Lp[:, :, 1, :, :, 0, :], axis1=1, axis2=3),
+            (0, 3, 1, 2),
+        )  # (B, nb2, w, w)
+        T = jnp.einsum("bpst,bptq->bpsq", L21, WA,
+                       preferred_element_type=dtype, precision=hi)
+        W21 = -jnp.einsum("bprs,bpsq->bprq", WC, T,
+                          preferred_element_type=dtype, precision=hi)
+        zero = jnp.zeros((B, nb2, w, w), dtype)
+        top = jnp.concatenate([WA, zero], axis=-1)
+        bot = jnp.concatenate([W21, WC], axis=-1)
+        cur = jnp.concatenate([top, bot], axis=-2)  # (B, nb2, 2w, 2w)
+        w *= 2
+    W = cur[:, 0]
+    return W[:, :Np, :Np]
+
+
 def _prep(K, y, noise):
     B, N, _ = K.shape
     dtype = K.dtype
@@ -186,15 +311,23 @@ def _fwd(K, y, noise):
 
 
 def _bwd(res, g):
+    # Ks⁻¹ = WᵀW with W = L⁻¹ from XLA's triangular solve against the
+    # identity. A hierarchical MXU block inversion (blocked_triangular_inverse)
+    # was built and benchmarked as a replacement: isolated it is ~25% faster
+    # than the trisolve, but interleaved inside the full value+grad program
+    # the two designs time identically on v5e (2.10 vs 2.11 ms at B=8,
+    # N=1024) — XLA overlaps the trisolve with the unrolled panel pipeline.
+    # The simpler design stays; the block inverse remains available for
+    # contexts without that overlap (see BENCH_NOTES.md roofline section).
     L, a, N, B = res
     Np = L.shape[1]
     eye = jnp.broadcast_to(jnp.eye(Np, dtype=L.dtype), L.shape)
     W = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
     Wb = W[:B, :N, :N]
-    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=L.dtype,
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype,
                       precision="highest")
     alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N],
-                       preferred_element_type=L.dtype, precision="highest")
+                       preferred_element_type=W.dtype, precision="highest")
     dK = 0.5 * (Kinv - alpha[:, :, None] * alpha[:, None, :])
     dnoise = 0.5 * (
         jnp.trace(Kinv, axis1=-2, axis2=-1) - jnp.sum(alpha * alpha, axis=-1)

@@ -89,3 +89,35 @@ def test_gpr_dispatch_routes_large_n_through_blocked():
     fast = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=True)
     ref = gpr.batched_neg_log_marginal_likelihood(stacked, X, Y, fast=False)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-4)
+
+
+def test_blocked_triangular_inverse_matches_dense():
+    """Hierarchical MXU block inversion equals numpy inv, including a
+    non-power-of-two panel count (P=5 at N=640)."""
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
+
+    rng = np.random.default_rng(3)
+    for N in (512, 640):
+        B = 8
+        A = rng.normal(size=(B, N, N)) / np.sqrt(N)
+        Ks = A @ np.swapaxes(A, -1, -2) + 2.0 * np.eye(N)
+        L = jnp.asarray(np.linalg.cholesky(Ks).astype(np.float32))
+        W = jax.jit(bn.blocked_triangular_inverse)(L)
+        Wref = np.linalg.inv(np.asarray(L, np.float64))
+        np.testing.assert_allclose(np.asarray(W), Wref, atol=5e-4)
+
+
+def test_dispatch_prefers_xla_above_blocked_cutoff():
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
+    from portfoliooptgp_tpu.train import lbfgs
+
+    assert bn.blocked_nll_preferred(1024)
+    assert not bn.blocked_nll_preferred(1025)
+    m = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=0.1)
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32)[None],
+                           m)
+    X = jnp.zeros((1500, 1), jnp.float32)
+    Y = jnp.zeros((1500, 1), jnp.float32)
+    assert gpr.nll_tier(stacked, X, Y) == "xla"
