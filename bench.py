@@ -135,12 +135,179 @@ def bench_numpy_baseline():
     return forward_rate / 3.0  # value+grad ≈ 3x forward
 
 
+SVGP_N, SVGP_M, SVGP_BATCH = 10_963, 128, 2048
+
+
+def _svgp_problem():
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 44 * 365, size=(SVGP_N, 1))).astype(np.float32)
+    Y = (np.sin(X / 200.0) + 0.1 * rng.normal(size=(SVGP_N, 1))).astype(np.float32)
+    Z = np.linspace(0, X.max(), SVGP_M)[:, None].astype(np.float32)
+    return X, Y, Z
+
+
+def bench_svgp():
+    """SVGP ELBO Adam train steps/s at full-AAPL scale (BASELINE north star).
+    STEPS=2000 keeps the ~23 ms tunnel overhead at ~10% (BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import svgp as svgp_mod
+    from portfoliooptgp_tpu.parallel import elbo_sharded
+
+    X, Y, Z = _svgp_problem()
+    model = svgp_mod.SVGP.create(
+        km.SquaredExponential.create(variance=1.0, lengthscales=300.0),
+        inducing_points=jnp.asarray(Z),
+    )
+    model = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+    init_fn, step_fn = elbo_sharded.make_elbo_train_step(num_data=SVGP_N)
+    state = init_fn(model)
+    Xb = jnp.asarray(X[:SVGP_BATCH]); Yb = jnp.asarray(Y[:SVGP_BATCH])
+    wb = jnp.ones((SVGP_BATCH,), jnp.float32)
+    STEPS = 2000
+
+    @jax.jit
+    def chain(state, s):
+        st0 = jax.tree.map(lambda p: p * (1 + 1e-12 * (s - 1)), state)
+        def body(c, _):
+            st, _ = c
+            st, loss = step_fn(st, Xb, Yb, wb)
+            return (st, loss), None
+        (st, loss), _ = jax.lax.scan(body, (st0, jnp.asarray(0.0)), None, length=STEPS)
+        return loss
+
+    loss = float(np.asarray(chain(state, jnp.asarray(1.0, jnp.float32))))
+    assert np.isfinite(loss), "non-finite SVGP loss in benchmark"
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(chain(state, jnp.asarray(1.0 + 1e-6 * (i + 1), jnp.float32))))
+        times.append(time.perf_counter() - t0)
+    return STEPS / min(times)
+
+
+def bench_svgp_numpy_baseline():
+    """Reference-style CPU unit: one float64 minibatch ELBO evaluation
+    (Kuu chol + Kuf solves + expectations) in numpy; grad emulated by the
+    3x-forward reverse-mode factor, as in the GPR baseline."""
+    X, Y, Z = _svgp_problem()
+    Xb = X[:SVGP_BATCH].astype(np.float64); Yb = Y[:SVGP_BATCH].astype(np.float64)
+    Zb = Z.astype(np.float64)
+    ell, v, s2 = 300.0, 1.0, 1.0
+
+    def elbo():
+        d2uu = (Zb[:, 0][:, None] - Zb[:, 0][None, :]) ** 2
+        Kuu = v * np.exp(-0.5 * d2uu / ell**2) + 1e-6 * np.eye(SVGP_M)
+        Luu = np.linalg.cholesky(Kuu)
+        d2uf = (Zb[:, 0][:, None] - Xb[:, 0][None, :]) ** 2
+        Kuf = v * np.exp(-0.5 * d2uf / ell**2)
+        A = np.linalg.solve(Luu, Kuf)
+        mean = A.T @ np.zeros((SVGP_M,))
+        var = v - np.sum(A * A, axis=0)
+        ve = -0.5 * np.log(2 * np.pi * s2) - ((Yb[:, 0] - mean) ** 2 + var) / (2 * s2)
+        return ve.sum()
+
+    elbo()
+    t0 = time.perf_counter()
+    evals = 0
+    while time.perf_counter() - t0 < 2.0:
+        elbo()
+        evals += 1
+    return evals / (time.perf_counter() - t0) / 3.0
+
+
+def bench_nuts():
+    """NUTS draws/s on the proper 8-chain GPR hyperparameter posterior
+    (marginal likelihood x weak centered prior), fused joint value+grad.
+    Returns (draws_per_s, numpy_baseline_draws_per_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+    from portfoliooptgp_tpu.inference.fused_logdensity import (
+        gpr_logdensity_pair, gpr_logdensity_vg)
+    from portfoliooptgp_tpu.inference.sampler import (
+        sample_nuts, centered_normal_logprior)
+
+    Ng, NC, NW, NS = 128, 8, 100, 200
+    rng = np.random.default_rng(0)
+    Xg = jnp.asarray(np.sort(rng.uniform(0, 60, (Ng, 1))), jnp.float32)
+    Yg = jnp.sin(Xg / 8.0) + 0.1 * jnp.asarray(rng.normal(size=(Ng, 1)), jnp.float32)
+    m0 = gpr.GPR.create(km.SquaredExponential.create(1.0, 5.0), noise_variance=0.1)
+    m0 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), m0)
+    logprior = centered_normal_logprior(m0)
+    logp, _ = gpr_logdensity_pair(Xg, Yg, logprior_fn=logprior)
+    vg = gpr_logdensity_vg(Xg, Yg, logprior_fn=logprior)
+
+    @jax.jit
+    def run(key):
+        samples, stats = sample_nuts(logp, m0, key, num_warmup=NW,
+                                     num_samples=NS, num_chains=NC,
+                                     max_depth=8, vg_fn=vg)
+        return (jax.tree.leaves(samples)[0], stats.accept_prob.mean(),
+                stats.num_leaves)
+
+    s0, acc, leaves = run(jax.random.key(0))
+    _ = np.asarray(s0)
+    assert 0.5 < float(acc) < 1.0, f"NUTS acceptance off: {float(acc)}"
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        s, acc, lv = run(jax.random.key(i + 1))
+        _ = np.asarray(s)
+        times.append(time.perf_counter() - t0)
+    draws_per_s = NC * (NW + NS) / min(times)
+
+    # numpy f64 baseline: sequential chains; cost/draw = mean leaves x one
+    # NLL+grad (grad emulated by the 3x-forward reverse-mode factor)
+    mean_leaves = float(np.asarray(leaves).mean())
+    Xn = np.asarray(Xg, np.float64); Yn = np.asarray(Yg, np.float64)
+
+    def nll():
+        d2 = (Xn[:, 0][:, None] - Xn[:, 0][None, :]) ** 2 / 25.0
+        K = np.exp(-0.5 * d2) + 0.1 * np.eye(Ng)
+        L = np.linalg.cholesky(K)
+        a = np.linalg.solve(L, Yn)
+        return 0.5 * float((a * a).sum()) + np.log(np.diag(L)).sum()
+
+    nll()
+    t0 = time.perf_counter()
+    evals = 0
+    while time.perf_counter() - t0 < 1.0:
+        nll()
+        evals += 1
+    eval_rate = evals / (time.perf_counter() - t0) / 3.0
+    baseline = eval_rate / max(mean_leaves, 1.0)
+    return draws_per_s, baseline
+
+
 def main():
     use_cpu = "--cpu" in sys.argv
     if use_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    # secondary BASELINE metrics first; the headline line LAST so the
+    # driver's parsed record stays the GPR evals/s series
+    svgp = bench_svgp()
+    svgp_base = bench_svgp_numpy_baseline()
+    print(json.dumps({
+        "metric": "svgp_elbo_train_steps_per_s",
+        "value": round(svgp, 2),
+        "unit": "steps/s (N=10963, M=128, batch=2048)",
+        "vs_baseline": round(svgp / svgp_base, 2),
+    }))
+    nuts, nuts_base = bench_nuts()
+    print(json.dumps({
+        "metric": "nuts_draws_per_s",
+        "value": round(nuts, 2),
+        "unit": "draws/s (8 chains, N=128 GPR posterior)",
+        "vs_baseline": round(nuts / nuts_base, 2),
+    }))
     value = bench_tpu()
     baseline = bench_numpy_baseline()
     print(
