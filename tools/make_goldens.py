@@ -280,14 +280,15 @@ MI_PATH = {
 }
 
 
-def multi_input_goldens():
-    """JPM walk-forward (step 4) on the reference's real CSVs with the
-    __main__ config (Multi-Input_GPR/main.py:482-553): train
-    2024-02-10..2024-05-10, test ..2024-05-17, threshold 0.30,
+def walk_forward_ticker(ticker, t0="2024-02-10", t1="2024-05-10",
+                        t2="2024-05-17"):
+    """One step-4 walk-forward on the reference's real CSVs with the
+    __main__ config (Multi-Input_GPR/main.py:482-553): threshold 0.30,
     Exponential×Exponential composite, isFixedLikelihood → sigma^2=1e-3
-    frozen (main.py:417-421), full-convergence L-BFGS."""
-    t0, t1, t2 = "2024-02-10", "2024-05-10", "2024-05-17"
-    tgt = f"{REF}/Stocks/JPM/JPM_us_d.csv"
+    frozen (main.py:417-421), full-convergence L-BFGS. Returns the
+    per-ticker golden dict plus the normalized train targets (the
+    reference's run_step_4 return[3], main.py:459)."""
+    tgt = f"{REF}/Stocks/{ticker}/{ticker}_us_d.csv"
 
     def series(path, start, end):
         df = load_window(path, start, end)
@@ -345,15 +346,241 @@ def multi_input_goldens():
             f_var=var * jfs ** 2,
             actual=float(Yjf[i, 0]) * jfs + jfm,
         ))
-    return dict(
-        ticker="JPM", correlations=corrs, kept_features=kept,
+    golden = dict(
+        ticker=ticker, correlations=corrs, kept_features=kept,
         n_train=n_train, n_full=n_full, day0_hyperparams=hp0,
         walk_forward=days, y_stats_full=[jfm, jfs],
     )
+    return golden, Yj[:, 0]
+
+
+def multi_input_goldens():
+    golden, _ = walk_forward_ticker("JPM")
+    return golden
+
+
+# --------------------------------------------- part C: 5-asset portfolio
+PORTFOLIO_TICKERS = ["JPM", "MSFT", "COST", "HLT", "JNJ"]  # main.py:488-495
+
+
+class _RefOptimizer:
+    """Independent scipy re-implementation of the reference Optimizer
+    (optimization/optimizer.py), including the stateful previous_weights
+    that persist across days AND across strategy evaluations (one shared
+    instance in main.py:573-597)."""
+
+    def __init__(self, l1=0.01, l2=0.0, trx_fee=1e-5):
+        self.l1, self.l2, self.fee = l1, l2, trx_fee
+        self.prev = np.full(5, 0.2)
+        self.mu = self.Sigma = self.rf = None
+
+    def set_daily(self, mu, var, rf):
+        self.mu, self.Sigma, self.rf = np.asarray(mu), np.diag(var), rf
+
+    def set_cml(self, mus, varss, rf):
+        # (1+r1)...(1+rn)-1 per asset; variances summed (optimizer.py:25-40)
+        self.mu = np.array([np.prod(1.0 + np.asarray(m)) - 1.0 for m in mus])
+        self.Sigma = np.diag([np.sum(v) for v in varss])
+        self.rf = rf
+
+    def _penalty(self, w, with_tx=True):
+        p = self.l1 * np.sum(np.abs(w)) if self.l1 > 0 else 0.0
+        if self.l2 > 0:
+            p += self.l2 * np.sum(w ** 2)
+        if with_tx:
+            p += self.fee * np.sum(np.abs(w - self.prev))
+        return p
+
+    def _solve(self, obj, constraints):
+        res = minimize(obj, np.full(5, 0.2), bounds=[(0, 1)] * 5,
+                       constraints=constraints, method="SLSQP")
+        if not res.success:
+            raise ValueError(res.message)
+        self.prev = res.x.copy()
+        return res.x
+
+    def sharpe(self):
+        def obj(w):
+            ret = self.mu @ w
+            vol = np.sqrt(w @ self.Sigma @ w)
+            return -(ret - self.rf) / vol + self._penalty(w)
+        return self._solve(obj, {"type": "eq", "fun": lambda w: w.sum() - 1})
+
+    def max_return(self, max_vol):
+        def obj(w):
+            return -(self.mu @ w) + self._penalty(w)
+        cons = [{"type": "eq", "fun": lambda w: w.sum() - 1},
+                {"type": "ineq",
+                 "fun": lambda w: max_vol - np.sqrt(w @ self.Sigma @ w)}]
+        return self._solve(obj, cons)
+
+    def min_vol(self, min_ret):
+        def obj(w):  # uncertainty_objective: regularization WITHOUT tx
+            return np.sqrt(w @ self.Sigma @ w) + self._penalty(w, with_tx=False)
+        cons = [{"type": "eq", "fun": lambda w: w.sum() - 1},
+                {"type": "ineq", "fun": lambda w: self.mu @ w - min_ret}]
+        return self._solve(obj, cons)
+
+
+def portfolio_goldens(per_ticker):
+    """Full 5-asset, 5-strategy portfolio evaluation + backtest with the
+    reference's exact semantics (Portfolio/portfolio.py:92-222,
+    Strategies/*, main.py:573-612): day-0 daily vs compounded-cumulative
+    predictions, cov = outer(σ,σ)·corr of the train targets, one shared
+    optimizer whose previous_weights leak across strategies, the
+    reference's backtest/Sharpe definitions, rf = 0.01/252."""
+    preds = [[d["f_mean"] for d in per_ticker[t]["walk_forward"]]
+             for t in PORTFOLIO_TICKERS]
+    varss = [[d["f_var"] for d in per_ticker[t]["walk_forward"]]
+             for t in PORTFOLIO_TICKERS]
+    actuals = [[d["actual"] for d in per_ticker[t]["walk_forward"]]
+               for t in PORTFOLIO_TICKERS]
+    Ytr = np.column_stack([per_ticker[t]["_Y_train"]
+                           for t in PORTFOLIO_TICKERS])
+    full_corr = np.corrcoef(Ytr.T)  # main.py:564-565 → full_correlations
+
+    rf = 0.01 / 252
+    max_vol, min_ret = 0.02, 0.001
+    opt = _RefOptimizer(l1=0.01, l2=0.0, trx_fee=1e-5)
+    n_days = len(preds[0])
+    out = {"full_corr": full_corr.tolist()}
+
+    for strat in ("constant", "sharpe", "max_return", "min_volatility",
+                  "dynamic"):
+        weights, vols, rets_pred = [], [], []
+        daily_returns, cov_matrices = [], []
+        for day in range(n_days):
+            if day == 0:
+                mu = [preds[i][0] for i in range(5)]
+                var = [varss[i][0] for i in range(5)]
+                opt.set_daily(mu, var, rf)
+            else:
+                opt.set_cml([preds[i][:day + 1] for i in range(5)],
+                            [varss[i][:day + 1] for i in range(5)], rf)
+            std = np.sqrt([varss[i][day] for i in range(5)])
+            daily_ret = np.array([preds[i][day] for i in range(5)])
+            cov = np.outer(std, std) * full_corr
+            daily_returns.append(daily_ret)
+            cov_matrices.append(cov)
+
+            if strat == "constant":
+                w = np.full(5, 0.2)  # ConstantStrategy: no optimizer call
+            elif strat == "sharpe":
+                w = opt.sharpe()
+            elif strat == "max_return":
+                w = opt.max_return(max_vol)
+            elif strat == "min_volatility":
+                w = opt.min_vol(min_ret)
+            else:  # dynamic (Strategies/dynamic_strategy.py:95-133)
+                if day == 0:
+                    w = opt.max_return(max_vol)
+                else:
+                    mu_A, mu_B = daily_returns[-2], daily_ret
+                    prev_w = np.asarray(weights[-1])
+                    eA, eB = mu_A @ prev_w, mu_B @ prev_w
+                    if eA < eB:
+                        w = opt.max_return(max_vol)
+                    else:
+                        w = opt.min_vol(eB - eA)
+                        tx = np.sum(1e-5 * np.abs(w - prev_w))
+                        if (eB - eA - tx) <= 0:  # tx-revert quirk
+                            w = prev_w
+            ret = float(opt.mu @ w)
+            vol = float(np.sqrt(w @ opt.Sigma @ w))
+            weights.append(w.tolist())
+            vols.append(vol)
+            rets_pred.append(ret)
+
+        # backtest (Return.calculate_portfolio_returns + portfolio.py:167-222)
+        net, trx = [], []
+        prev_w = np.zeros(5)
+        for i in range(n_days):
+            w = np.asarray(weights[i])
+            r = np.array([actuals[k][i] for k in range(5)])
+            cost = 1e-5 * np.sum(np.abs(w - prev_w)) if i else 1e-5 * np.sum(np.abs(w))
+            net.append(float(w @ r - cost))
+            trx.append(float(cost))
+            prev_w = w
+        cml = float(np.prod(1.0 + np.asarray(net)) - 1.0)
+        cml_trx = float(np.sum(trx))
+        cml_var = float(np.sum(vols))
+        sharpe_final = float((cml - rf) / cml_var)
+        out[strat] = dict(weights=weights, predicted_vols=vols,
+                          predicted_rets=rets_pred, net_returns=net,
+                          transaction_costs=trx, cumulative_return=cml,
+                          cumulative_trx=cml_trx, sharpe=sharpe_final)
+    return out
+
+
+# --------------------------------------------- part D: SGPR on AAPL EOD
+def sgpr_goldens():
+    """Titsias collapsed SGPR bound + predictive posterior at FIXED
+    hyperparameters on the full committed AAPL 1980-2024 EOD series
+    (test_data/Stocks/AAPL_EOD/aapl_us_eod.csv, the reference's sparse-GP
+    workload scale, test_scripts/SVGP.py:393-400). Fixed hyperparameters
+    make the numbers exact (no optimizer-trajectory tolerance): the bound
+    value, the exact LML on a subsample (bound ≤ LML), and predictions at
+    pinned test points. SVGP correctness follows from the in-repo gate
+    that one γ=1 natural-gradient step reproduces this bound."""
+    df = pd.read_csv(f"{REF}/test_data/Stocks/AAPL_EOD/aapl_us_eod.csv")
+    close = df["close"].to_numpy(float)
+    day = np.arange(len(close), dtype=float)
+    # deterministic prep pinned by this golden (ddof=0 z-scores)
+    X = ((day - day.mean()) / day.std())[:, None]
+    Y = ((close - close.mean()) / close.std())[:, None]
+    N = X.shape[0]
+    v, ell, s2 = 1.0, 0.5, 0.1
+    out = {"n": N, "hyper": dict(variance=v, lengthscale=ell, noise=s2),
+           "prep": "X=day-index z-score ddof0, Y=close z-score ddof0"}
+
+    for M in (10, 120):
+        Z = np.linspace(X.min(), X.max(), M)[:, None]
+        Kuu = v * np.exp(-0.5 * sqdist(Z / ell, Z / ell)) + 1e-6 * np.eye(M)
+        Kuf = v * np.exp(-0.5 * sqdist(Z / ell, X / ell))
+        Luu = np.linalg.cholesky(Kuu)
+        A = np.linalg.solve(Luu, Kuf) / np.sqrt(s2)  # (M, N)
+        B = np.eye(M) + A @ A.T
+        LB = np.linalg.cholesky(B)
+        c = np.linalg.solve(LB, A @ Y) / np.sqrt(s2)
+        # Titsias trace penalty: −tr(Kff − Qff)/(2σ²); ΣA² is already
+        # tr(Qff)/σ² in this parameterization
+        bound = (-0.5 * N * np.log(2 * np.pi)
+                 - np.log(np.diag(LB)).sum() - 0.5 * N * np.log(s2)
+                 - 0.5 * float((Y.T @ Y).item()) / s2
+                 + 0.5 * float((c.T @ c).item())
+                 - 0.5 * (N * v / s2 - float(np.sum(A * A))))
+        # predictions at 7 pinned points spanning the range
+        Xs = np.linspace(X.min(), X.max(), 7)[:, None]
+        Kus = v * np.exp(-0.5 * sqdist(Z / ell, Xs / ell))
+        tmp1 = np.linalg.solve(Luu, Kus)
+        tmp2 = np.linalg.solve(LB, tmp1)
+        mean = tmp2.T @ c
+        var = (v - np.sum(tmp1 * tmp1, axis=0) + np.sum(tmp2 * tmp2, axis=0))
+        out[f"M{M}"] = dict(elbo=float(bound), test_x=Xs[:, 0].tolist(),
+                            pred_mean=mean[:, 0].tolist(),
+                            pred_var=var.tolist())
+
+    # exact LML on an every-8th subsample for the bound ≤ LML gate
+    idx = np.arange(0, N, 8)
+    Xs_, Ys_ = X[idx], Y[idx]
+    n = len(idx)
+    K = v * np.exp(-0.5 * sqdist(Xs_ / ell, Xs_ / ell)) + s2 * np.eye(n)
+    L = np.linalg.cholesky(K)
+    a = np.linalg.solve(L, Ys_)
+    lml = (-0.5 * float(a.T @ a) - np.log(np.diag(L)).sum()
+           - 0.5 * n * np.log(2 * np.pi))
+    out["subsample_every8"] = dict(n=n, exact_lml=float(lml))
+    return out
 
 
 if __name__ == "__main__":
     check_grads()
+    per_ticker = {}
+    for t in PORTFOLIO_TICKERS:
+        print(f"walk-forward {t} ...")
+        g, ytr = walk_forward_ticker(t)
+        g["_Y_train"] = ytr.tolist()
+        per_ticker[t] = g
     goldens = dict(
         _provenance=(
             "generated by tools/make_goldens.py: independent numpy/scipy "
@@ -362,7 +589,15 @@ if __name__ == "__main__":
             "committed CSVs under /root/reference"
         ),
         single_asset=single_asset_goldens(),
-        multi_input=multi_input_goldens(),
+        multi_input=per_ticker["JPM"],
+        portfolio=portfolio_goldens(per_ticker),
+        portfolio_inputs={t: dict(
+            f_means=[d["f_mean"] for d in per_ticker[t]["walk_forward"]],
+            f_vars=[d["f_var"] for d in per_ticker[t]["walk_forward"]],
+            actuals=[d["actual"] for d in per_ticker[t]["walk_forward"]],
+            Y_train=per_ticker[t]["_Y_train"],
+        ) for t in PORTFOLIO_TICKERS},
+        sgpr=sgpr_goldens(),
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
