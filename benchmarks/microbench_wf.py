@@ -58,7 +58,8 @@ def main():
         err = Yp[None, :, 0] * masks
         return jnp.sum(
             st.batched_nll_stationary_general(
-                sp.families, sp.d2s, err, sp.vs, sp.ls, sp.als, noise, masks)
+                sp.families, sp.d2s, err, sp.vs, sp.ls, sp.als, noise, masks,
+                dims=sp.dims)
         )
 
     def loss_dense(ms, Yp):

@@ -127,12 +127,15 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
 
 class FusedSpec(NamedTuple):
     """Operands of the fused build-in-VMEM Pallas NLL paths: J factor
-    'atoms' combined by `combine` ('prod'|'sum'), each with one shared
-    (N, N) matrix and three (B,) per-model scalars (see
+    'atoms' combined by `combine` ('prod'|'sum'). `dims[j]` is atom j's
+    count of shared (N, N) matrices — 1 for isotropic atoms, D for ARD
+    atoms with per-dim lengthscales (the φ argument is Σ_d d2_d/ℓ_d²).
+    d2s/ls are atom-major flat (Σ dims entries); vs/als are per-atom (see
     ops/pallas/stationary_nll.batched_nll_stationary_general)."""
 
     combine: str
     families: tuple
+    dims: tuple
     d2s: tuple
     vs: tuple
     ls: tuple
@@ -175,7 +178,9 @@ def fused_stationary_spec(stacked_model, X):
 
     def atom(t, get):
         """Spec of one atom `t` (stacked pytree) with accessor `get`, or
-        None if unsupported. Returns (family, matrix, v, ls, al)."""
+        None if unsupported. Returns (family, [matrices], v, [ls], al) —
+        one matrix/ls pair for isotropic atoms, one per feature dim for
+        ARD atoms (stacked raw_lengthscales of ndim 2, i.e. (B, D))."""
         fam = FAMILY_OF.get(type(t))
         Xs = t.slice_x(X)
         if fam is not None and jnp.ndim(t.raw_lengthscales) == 1:
@@ -186,7 +191,29 @@ def fused_stationary_spec(stacked_model, X):
                 al = jax.vmap(lambda m: get(m).alpha)(stacked_model)
             else:
                 al = jnp.ones_like(v)
-            return fam, d2, v, ell, al
+            return fam, [d2], v, [ell], al
+        if (fam is not None
+                and jnp.ndim(t.raw_lengthscales) == 2
+                and t.raw_lengthscales.shape[1] == Xs.shape[1]
+                and Xs.shape[1] <= 8):
+            # ARD: per-dim lengthscales (B, D); the fused kernel builds
+            # u = Σ_d d2_d/ℓ_d² from D shared per-dim distance matrices
+            # (D ≤ 8 keeps them within the VMEM budget). Restores the
+            # fused tier for the multi-input composite with ARD enabled
+            # (Multi-Input_GPR/main.py:118-135).
+            D = Xs.shape[1]
+            v = jax.vmap(lambda m: get(m).variance)(stacked_model)
+            ells = jax.vmap(lambda m: get(m).lengthscales)(stacked_model)
+            d2s = [
+                st_kernels.scaled_squared_distance(Xs[:, d:d + 1],
+                                                   Xs[:, d:d + 1], one)
+                for d in range(D)
+            ]
+            if fam == "rq":
+                al = jax.vmap(lambda m: get(m).alpha)(stacked_model)
+            else:
+                al = jnp.ones_like(v)
+            return fam, d2s, v, [ells[:, d] for d in range(D)], al
         if (isinstance(t, Periodic)
                 and isinstance(t.base, st_kernels.SquaredExponential)
                 and Xs.shape[1] == 1
@@ -201,12 +228,12 @@ def fused_stationary_spec(stacked_model, X):
             v = jax.vmap(lambda m: get(m).base.variance)(stacked_model)
             per = jax.vmap(lambda m: get(m).period)(stacked_model)
             bl = jax.vmap(lambda m: get(m).base.lengthscales)(stacked_model)
-            return "periodic_se", d2, v, per, bl
+            return "periodic_se", [d2], v, [per], bl
         if isinstance(t, Linear):
             P = Xs @ Xs.T
             v = jax.vmap(lambda m: get(m).variance)(stacked_model)
             on = jnp.ones_like(v)
-            return "linear", P, v, on, on
+            return "linear", [P], v, [on], on
         return None
 
     kern = stacked_model.kernel
@@ -224,9 +251,12 @@ def fused_stationary_spec(stacked_model, X):
             atoms.append(aj)
     else:
         return None
-    fams, d2s, vs, ells, als = zip(*atoms)
-    return FusedSpec(combine, tuple(fams), tuple(d2s), tuple(vs),
-                     tuple(ells), tuple(als))
+    fams, d2_lists, vs, ell_lists, als = zip(*atoms)
+    dims = tuple(len(ds) for ds in d2_lists)
+    d2s_flat = tuple(d for ds in d2_lists for d in ds)
+    ells_flat = tuple(l for ls in ell_lists for l in ls)
+    return FusedSpec(combine, tuple(fams), dims, d2s_flat, tuple(vs),
+                     ells_flat, tuple(als))
 
 
 _dispatch_logger = logging.getLogger("portfoliooptgp_tpu.dispatch")
@@ -268,7 +298,8 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         return "xla"
     spec = fused_stationary_spec(stacked_model, X)
     if spec is not None and nll_mod.pallas_nll_supported(n):
-        if len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES:
+        if (len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES
+                and spec.dims == (1,)):
             return "fused_stationary"
         return f"fused_general_{spec.combine}"
     if nll_mod.pallas_nll_supported(n):
@@ -322,12 +353,12 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
             _record_tier("fused_general_sum", n, b)
             return st_mod.batched_nll_stationary_sum(
                 spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
-                noise, mask
+                noise, mask, dims=spec.dims
             )
         _record_tier("fused_general_prod", n, b)
         return st_mod.batched_nll_stationary_general(
             spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als, noise,
-            mask
+            mask, dims=spec.dims
         )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)

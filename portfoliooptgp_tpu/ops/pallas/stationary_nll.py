@@ -277,12 +277,21 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
 
 
 def _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref, mask_ref, n,
-                   b_tile, dtype, families, combine):
+                   b_tile, dtype, families, combine, dims):
+    """K build with per-atom MULTI-dim φ arguments: atom j's argument is
+    u_j = Σ_d s_{j,d}·D_{j,d} over its `dims[j]` shared distance matrices —
+    one matrix for isotropic atoms, one per feature dim for ARD atoms
+    (per-dim lengthscales, kernels/stationary.py scaled_squared_distance).
+    D_refs and s_refs are atom-major flat (Σ dims entries)."""
     E = None
-    for D_ref, v_ref, s_ref, a_ref, fam in zip(D_refs, v_refs, s_refs,
-                                               a_refs, families):
-        D = D_ref[...].reshape(n, 1, n)
-        term = _scal(v_ref) * _phi(fam, _scal(s_ref) * D, _scal(a_ref))
+    off = 0
+    for j, (fam, dj) in enumerate(zip(families, dims)):
+        U = None
+        for d in range(dj):
+            Ud = _scal(s_refs[off + d]) * D_refs[off + d][...].reshape(n, 1, n)
+            U = Ud if U is None else U + Ud
+        off += dj
+        term = _scal(v_refs[j]) * _phi(fam, U, _scal(a_refs[j]))
         if E is None:
             E = term
         else:
@@ -297,18 +306,20 @@ def _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref, mask_ref, n,
     return mT * m[None, :, :] * E + eye * diag_vals[None, :, :]
 
 
-def _stg_kernel(*refs, n, b_tile, families, combine, with_inverse):
-    """Positional refs: D_0..D_{J-1}, y, v_0..v_{J-1}, s_0..s_{J-1},
-    al_0..al_{J-1}, nz, mask, [W_out], a_out, logdet_out, L_scratch."""
+def _stg_kernel(*refs, n, b_tile, families, combine, dims, with_inverse):
+    """Positional refs: D_0..D_{JD-1}, y, v_0..v_{J-1}, s_0..s_{JD-1},
+    al_0..al_{J-1}, nz, mask, [W_out], a_out, logdet_out, L_scratch,
+    with JD = Σ dims (atom-major flat per-dim matrices/scales)."""
     J = len(families)
-    D_refs = refs[:J]
-    y_ref = refs[J]
-    v_refs = refs[J + 1:2 * J + 1]
-    s_refs = refs[2 * J + 1:3 * J + 1]
-    a_refs = refs[3 * J + 1:4 * J + 1]
-    nz_ref = refs[4 * J + 1]
-    mask_ref = refs[4 * J + 2]
-    k = 4 * J + 3
+    JD = sum(dims)
+    D_refs = refs[:JD]
+    y_ref = refs[JD]
+    v_refs = refs[JD + 1:JD + J + 1]
+    s_refs = refs[JD + J + 1:2 * JD + J + 1]
+    a_refs = refs[2 * JD + J + 1:2 * JD + 2 * J + 1]
+    nz_ref = refs[2 * JD + 2 * J + 1]
+    mask_ref = refs[2 * JD + 2 * J + 2]
+    k = 2 * JD + 2 * J + 3
     if with_inverse:
         W_ref, a_ref, logdet_ref, L_s = refs[k:k + 4]
     else:
@@ -317,7 +328,8 @@ def _stg_kernel(*refs, n, b_tile, families, combine, with_inverse):
     dtype = y_ref.dtype
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     L_s[...] = _build_general(D_refs, v_refs, s_refs, a_refs, nz_ref,
-                              mask_ref, n, b_tile, dtype, families, combine)
+                              mask_ref, n, b_tile, dtype, families, combine,
+                              dims)
     if with_inverse:
         eye_rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 0)
         eye_cols = jax.lax.broadcasted_iota(jnp.int32, (n, 1, n), 2)
@@ -350,19 +362,21 @@ def _prep_general(d2s, err, vs, ls, als, noise, mask):
     return d2s, err, vs, ls, als, noise, mask, Np, Bp
 
 
-def _call_general(families, combine, with_inverse, d2s, err, vs, ss, als,
-                  noise, mask, interpret):
+def _call_general(families, combine, dims, with_inverse, d2s, err, vs, ss,
+                  als, noise, mask, interpret):
     B, N = err.shape
     dtype = err.dtype
     d2s, errp, vs, ss, als, nzp, maskp, Np, Bp = _prep_general(
         d2s, err, vs, ss, als, noise, mask)
     J = len(families)
+    JD = sum(dims)
     b_tile = B_TILE
     grid = (Bp // b_tile,)
     dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    in_specs = ([dspec] * J + [rowspec] + [scalar_spec] * (3 * J + 1) + [rowspec])
+    in_specs = ([dspec] * JD + [rowspec]
+                + [scalar_spec] * (J + JD + J + 1) + [rowspec])
     outs = [rowspec,
             pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((Bp, Np), dtype),
@@ -380,7 +394,8 @@ def _call_general(families, combine, with_inverse, d2s, err, vs, ss, als,
         vmem_limit_bytes=VMEM_LIMIT_BYTES)
     res = pl.pallas_call(
         functools.partial(_stg_kernel, n=Np, b_tile=b_tile, families=families,
-                          combine=combine, with_inverse=with_inverse),
+                          combine=combine, dims=dims,
+                          with_inverse=with_inverse),
         grid=grid,
         in_specs=in_specs,
         out_specs=outs,
@@ -402,23 +417,25 @@ def _call_general(families, combine, with_inverse, d2s, err, vs, ss, als,
     return nll, W, a
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _nll_general(families, combine, d2s, err, vs, ls, als, noise, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _nll_general(families, combine, dims, d2s, err, vs, ls, als, noise, mask):
     ss = tuple(1.0 / (l * l) for l in ls)
-    nll, _, _ = _call_general(families, combine, False, tuple(d2s), err,
-                              tuple(vs), ss, tuple(als), noise, mask,
+    nll, _, _ = _call_general(families, combine, dims, False, tuple(d2s),
+                              err, tuple(vs), ss, tuple(als), noise, mask,
                               _interpret_default())
     return nll
 
 
 def batched_nll_stationary_general(families, d2s, err, vs, ls, als, noise,
-                                   mask):
+                                   mask, dims=None):
     """Masked / product generalization of `batched_nll_stationary`.
 
     families: static tuple of J ≥ 1 family names (GENERAL_FAMILIES);
-    d2s/vs/ls/als: matching tuples of (N,N) shared factor matrices (unit-
-    lengthscale squared distances on each factor's active dims; the raw Gram
-    matrix for 'linear' factors) and (B,) constrained params. The ls slot
+    dims: static tuple of per-atom distance-matrix counts (default all 1 —
+    isotropic); an ARD atom with per-dim lengthscales contributes dims[j]=D
+    consecutive entries in d2s/ls: its φ argument is Σ_d d2_d/ℓ_d².
+    d2s/ls are ATOM-MAJOR FLAT tuples of Σ dims (N,N) shared matrices and
+    (B,) constrained params; vs/als are per-atom (J entries). The ls slot
     carries the lengthscale (stationary), the PERIOD ('periodic_se'), or
     ones ('linear'); the als slot carries the RQ exponent ('rq') or the base
     lengthscale ('periodic_se') — ones elsewhere. mask: (B, N) 1/0 prefix
@@ -427,26 +444,33 @@ def batched_nll_stationary_general(families, d2s, err, vs, ls, als, noise,
     callers restate it for the effective row count. The mask cotangent is
     defined as zero.
     """
-    return _nll_general(families, "prod", d2s, err, vs, ls, als, noise, mask)
+    if dims is None:
+        dims = (1,) * len(families)
+    return _nll_general(families, "prod", tuple(dims), d2s, err, vs, ls,
+                        als, noise, mask)
 
 
-def batched_nll_stationary_sum(families, d2s, err, vs, ls, als, noise, mask):
+def batched_nll_stationary_sum(families, d2s, err, vs, ls, als, noise, mask,
+                               dims=None):
     """SUM-combined variant of `batched_nll_stationary_general`:
     K = Σ_j v_j φ_j — the reference menu's `k1 + k2 (+ k3)` entries
     (GPR/main.py:109-112). Same operand contract."""
-    return _nll_general(families, "sum", d2s, err, vs, ls, als, noise, mask)
+    if dims is None:
+        dims = (1,) * len(families)
+    return _nll_general(families, "sum", tuple(dims), d2s, err, vs, ls, als,
+                        noise, mask)
 
 
-def _stg_fwd(families, combine, d2s, err, vs, ls, als, noise, mask):
+def _stg_fwd(families, combine, dims, d2s, err, vs, ls, als, noise, mask):
     ss = tuple(1.0 / (l * l) for l in ls)
-    nll, W, a = _call_general(families, combine, True, tuple(d2s), err,
+    nll, W, a = _call_general(families, combine, dims, True, tuple(d2s), err,
                               tuple(vs), ss, tuple(als), noise, mask,
                               _interpret_default())
     return nll, (tuple(d2s), err, tuple(vs), tuple(ls), tuple(als), noise,
                  mask, W, a)
 
 
-def _stg_bwd(families, combine, res, g):
+def _stg_bwd(families, combine, dims, res, g):
     d2s, err, vs, ls, als, noise, mask, W, a = res
     B, N = err.shape
     Wb = jnp.transpose(W, (1, 0, 2))[:B, :N, :N]
@@ -459,13 +483,27 @@ def _stg_bwd(families, combine, res, g):
     mm = mask[:, :, None] * mask[:, None, :]  # (B, N, N)
     T = dKbar * mm
     ss = [1.0 / (l * l) for l in ls]
-    us = [s[:, None, None] * d2[None] for s, d2 in zip(ss, d2s)]
+    offs = []  # atom-major offsets into the flat d2s/ls tuples
+    o = 0
+    for dj in dims:
+        offs.append(o)
+        o += dj
+    # per-atom φ argument u_j = Σ_d s_{j,d} d2_{j,d}
+    us = []
+    for j, dj in enumerate(dims):
+        u = 0.0
+        for d in range(dj):
+            k = offs[j] + d
+            u = u + ss[k][:, None, None] * d2s[k][None]
+        us.append(u)
     abc = [al[:, None, None] for al in als]
     phis = [_phi(fam, u, ab) for fam, u, ab in zip(families, us, abc)]
     P = 1.0
     for v in vs:
         P = P * v
-    dvs, dls, dals, dd2s = [], [], [], []
+    dvs, dals = [], []
+    dls = [None] * len(ls)
+    dd2s = [None] * len(d2s)
     for j, fam in enumerate(families):
         if combine == "sum":
             # K = Σ_k v_k φ_k: ∂K/∂v_j = φ_j, ∂K/∂u_j = v_j φ'_j
@@ -483,17 +521,17 @@ def _stg_bwd(families, combine, res, g):
             wj = P[:, None, None] * other
             du_j = wj * T * _phi_prime(fam, us[j], abc[j])
             dal_pre = wj * T * _phi_dalpha(fam, us[j], abc[j])
-        ds_j = jnp.sum(du_j * d2s[j][None], axis=(1, 2))
-        dl_j = ds_j * (-2.0 / (ls[j] ** 3))
-        dd2_j = jnp.sum(ss[j][:, None, None] * du_j, axis=0)
+        for d in range(dims[j]):
+            k = offs[j] + d
+            ds_k = jnp.sum(du_j * d2s[k][None], axis=(1, 2))
+            dls[k] = ds_k * (-2.0 / (ls[k] ** 3))
+            dd2s[k] = jnp.sum(ss[k][:, None, None] * du_j, axis=0)
         if fam in ("rq", "periodic_se"):
             dal_j = jnp.sum(dal_pre, axis=(1, 2))
         else:
             dal_j = jnp.zeros_like(als[j])
         dvs.append(dv_j)
-        dls.append(dl_j)
         dals.append(dal_j)
-        dd2s.append(dd2_j)
     diag_dK = jnp.diagonal(dKbar, axis1=-2, axis2=-1)  # (B, N)
     dnoise = jnp.sum(diag_dK * mask, axis=-1)
     derr = g[:, None] * alpha

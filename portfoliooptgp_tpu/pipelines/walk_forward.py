@@ -170,7 +170,7 @@ def batched_walk_forward(
             )
             nll = fused(
                 spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
-                noise, masks_dr
+                noise, masks_dr, dims=spec.dims
             )
             # the kernel's 2π constant uses the full N; restate it for n_eff
             return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)

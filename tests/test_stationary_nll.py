@@ -398,3 +398,62 @@ def test_menu_entry6_three_term_sum_routes_fused():
         noise_variance=0.3) for v in (0.7, 1.3)]
     stacked = _assert_fast_matches_xla(ms, X, Y, rtol=2e-3)
     assert gpr.nll_tier(stacked, X, Y) == "fused_general_sum"
+
+
+def test_ard_atom_routes_fused():
+    """ARD SE with per-dim lengthscales (D=4): the fused kernel builds
+    u = Σ_d d2_d/ℓ_d² from per-dim shared distance matrices (VERDICT r2
+    item 5; restores the fused tier the isotropic-only spec dropped)."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(96, 12, D=4)
+    ms = [gpr.GPR.create(
+        km.SquaredExponential.create(variance=v,
+                                     lengthscales=np.linspace(0.5, 2.0, 4) * v),
+        noise_variance=0.1) for v in (0.5, 1.0, 1.5)]
+    stacked = _assert_fast_matches_xla(ms, X, Y)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
+    spec = gpr.fused_stationary_spec(stacked, X)
+    assert spec.dims == (4,)
+    # per-dim lengthscale gradients must flow independently
+    gf = jax.grad(lambda s: jnp.sum(
+        gpr.batched_neg_log_marginal_likelihood(s, X, Y)))(stacked)
+    assert np.asarray(gf.kernel.raw_lengthscales).shape == (3, 4)
+    assert np.all(np.abs(np.asarray(gf.kernel.raw_lengthscales)) > 0)
+
+
+def test_ard_composite_product_routes_fused():
+    """The multi-input composite (ARD SE over feature dims × SE over the
+    time dim via active_dims, Multi-Input_GPR/main.py:118-135) with per-dim
+    lengthscales enabled stays on the fused tier."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    D = 3
+    X, Y = _xy(88, 13, D=D + 1)
+    comp = (km.SquaredExponential.create(lengthscales=np.ones(D),
+                                         active_dims=slice(0, D))
+            * km.SquaredExponential.create(lengthscales=2.0,
+                                           active_dims=slice(D, D + 1)))
+    ms = [gpr.GPR.create(jax.tree.map(lambda x: x * (1 + 0.1 * i), comp),
+                         noise_variance=0.1) for i in range(3)]
+    stacked = _assert_fast_matches_xla(ms, X, Y)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
+    spec = gpr.fused_stationary_spec(stacked, X)
+    assert spec.dims == (D, 1)
+
+
+def test_ard_rq_atom_routes_fused():
+    """RationalQuadratic with per-dim lengthscales: the α gradient and the
+    per-dim ℓ gradients coexist in the fused general path."""
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    X, Y = _xy(80, 14, D=2)
+    ms = [gpr.GPR.create(
+        km.RationalQuadratic.create(variance=v, lengthscales=np.array([1.0, 3.0]),
+                                    alpha=1.5),
+        noise_variance=0.2) for v in (0.8, 1.2)]
+    stacked = _assert_fast_matches_xla(ms, X, Y, gtol=2e-2)
+    assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
