@@ -79,13 +79,25 @@ class DynamicStrategy(Strategy):
     """
 
     def __init__(self, broker_fee: float = 0.0, apply_broker_fee: bool = False,
-                 decision: str = "expected_return"):
+                 decision: str = "expected_return", mesh=None):
+        """`mesh` (optional jax Mesh): shard the MC sampling budget over the
+        mesh data axis (portfolio/montecarlo.py sharded path) — the SURVEY
+        §2.3 MC-parallelism axis for larger-than-10k budgets."""
         super().__init__(broker_fee, apply_broker_fee)
         if decision not in ("expected_return", "prob_threshold"):
             raise ValueError(f"unknown dynamic decision rule: {decision!r}")
         self.decision = decision
+        self.mesh = mesh
 
     def probability_a_greater_than_b_mvnorm(self, mu_a, cov_a, mu_b, cov_b, num_samples=10_000, seed=0):
+        if self.mesh is not None:
+            from portfoliooptgp_tpu.portfolio.montecarlo import (
+                probability_a_greater_than_b_mvnorm_sharded,
+            )
+
+            return probability_a_greater_than_b_mvnorm_sharded(
+                mu_a, cov_a, mu_b, cov_b, self.mesh, num_samples, seed
+            )
         return probability_a_greater_than_b_mvnorm(mu_a, cov_a, mu_b, cov_b, num_samples, seed)
 
     def optimize(
