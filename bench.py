@@ -284,12 +284,58 @@ def bench_nuts():
     return draws_per_s, baseline
 
 
+def run_smoke_tier():
+    """Real-chip regression gate (VERDICT r3 item 1): run the per-tier smoke
+    checks (tools/smoke_tpu.py) before any timing, write SMOKE.json at the
+    repo root with per-check max-abs-err, and print a summary JSON line so
+    the driver's recorded bench tail carries the pass/fail of every Pallas
+    dispatch tier each round."""
+    import contextlib
+    import io
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from smoke_tpu import run_smoke
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        results, backend = run_smoke()
+    passed = sum(1 for r in results if r["ok"])
+    artifact = {
+        "backend": backend,
+        "passed": passed,
+        "total": len(results),
+        "checks": results,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SMOKE.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({
+        "metric": "smoke_checks_passed",
+        "value": passed,
+        "unit": f"of {len(results)} on-{backend} tier checks (SMOKE.json)",
+        "vs_baseline": 1.0 if passed == len(results) else 0.0,
+        "failed": [r["name"] for r in results if not r["ok"]],
+    }))
+
+
 def main():
     use_cpu = "--cpu" in sys.argv
     if use_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if "--no-smoke" not in sys.argv:
+        try:
+            run_smoke_tier()
+        except Exception as e:  # noqa: BLE001 — smoke must not block timing
+            print(json.dumps({
+                "metric": "smoke_checks_passed", "value": 0,
+                "unit": "smoke tier crashed", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}",
+            }))
 
     # secondary BASELINE metrics first; the headline line LAST so the
     # driver's parsed record stays the GPR evals/s series

@@ -279,7 +279,13 @@ def cmd_nuts(args):
     # geometry is near-singular (curvature ~1/lambda_min of K) and NUTS
     # needs 1e-7 step sizes. The posterior over noise is what this command
     # infers, so the init only needs to be in a sane basin.
-    model = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=1e-2)
+    nuts_init_noise = 1e-2
+    if cfg.train.noise_variance != nuts_init_noise:
+        print(f"note: nuts initializes noise_variance={nuts_init_noise:g} for "
+              f"sampling geometry; cfg.train.noise_variance="
+              f"{cfg.train.noise_variance:g} is an MLE pin and is not used here")
+    model = gpr.GPR.create(km.SquaredExponential.create(),
+                           noise_variance=nuts_init_noise)
 
     # weak prior CENTERED AT THE INIT: an N(0,1) prior on raw params fights
     # a 1e-5 noise init (raw ~ -11.5) and makes the posterior near-singular

@@ -59,14 +59,15 @@ def da_update(state: DualAveragingState, accept_prob, target: float = 0.8,
 
 class WelfordState(NamedTuple):
     mean: jnp.ndarray
-    m2: jnp.ndarray
+    m2: jnp.ndarray  # (dim,) diagonal or (dim, dim) dense second-moment sum
     count: jnp.ndarray
 
 
-def welford_init(dim: int, dtype=None) -> WelfordState:
+def welford_init(dim: int, dtype=None, dense: bool = False) -> WelfordState:
     dtype = dtype or jnp.result_type(float)
+    m2 = jnp.zeros((dim, dim) if dense else (dim,), dtype)
     return WelfordState(
-        mean=jnp.zeros((dim,), dtype), m2=jnp.zeros((dim,), dtype),
+        mean=jnp.zeros((dim,), dtype), m2=m2,
         count=jnp.asarray(0.0, dtype),
     )
 
@@ -75,7 +76,10 @@ def welford_update(state: WelfordState, x) -> WelfordState:
     count = state.count + 1.0
     delta = x - state.mean
     mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
+    if state.m2.ndim == 2:
+        m2 = state.m2 + jnp.outer(delta, x - mean)
+    else:
+        m2 = state.m2 + delta * (x - mean)
     return WelfordState(mean, m2, count)
 
 
@@ -88,15 +92,47 @@ def welford_variance(state: WelfordState, axis_name: Optional[str] = None,
         n_dev = jax.lax.psum(1, axis_name)
         total = count * n_dev
         gmean = jax.lax.pmean(mean, axis_name)
-        # combine M2 across shards: Σ m2_i + Σ n_i (mean_i - gmean)²
-        m2 = jax.lax.psum(m2 + count * (mean - gmean) ** 2, axis_name)
+        # combine M2 across shards: Σ m2_i + Σ n_i (mean_i - gmean)⊗²
+        d = mean - gmean
+        between = jnp.outer(d, d) if m2.ndim == 2 else d * d
+        m2 = jax.lax.psum(m2 + count * between, axis_name)
         count = total
     var = m2 / jnp.maximum(count - 1.0, 1.0)
     if regularize:
         # Stan-style shrinkage toward unit scale for small samples
         w = count / (count + 5.0)
-        var = w * var + (1.0 - w) * 1e-3
+        if var.ndim == 2:
+            dim = var.shape[0]
+            var = w * var + (1.0 - w) * 1e-3 * jnp.eye(dim, dtype=var.dtype)
+        else:
+            var = w * var + (1.0 - w) * 1e-3
     return var
+
+
+def velocity(inv_mass, p):
+    """v = M⁻¹ p for a diagonal (dim,) or dense (dim, dim) inverse mass."""
+    return inv_mass @ p if inv_mass.ndim == 2 else inv_mass * p
+
+
+def mass_chol(inv_mass):
+    """Factor used to draw momenta p ~ N(0, M): with Σ = M⁻¹ = L Lᵀ,
+    p = L⁻ᵀ ξ. Diagonal metrics return the (dim,) sqrt vector; dense ones
+    the lower Cholesky of Σ. Computed ONCE when the metric is (re)set, not
+    per transition."""
+    if inv_mass.ndim == 2:
+        return jnp.linalg.cholesky(inv_mass)
+    return jnp.sqrt(inv_mass)
+
+
+def sample_momentum(key, inv_mass, chol=None, *, shape=None, dtype=None):
+    """Draw p ~ N(0, M) for the metric M = inv_mass⁻¹."""
+    if chol is None:
+        chol = mass_chol(inv_mass)
+    dim = inv_mass.shape[0]
+    xi = jax.random.normal(key, shape or (dim,), dtype or inv_mass.dtype)
+    if inv_mass.ndim == 2:
+        return jax.scipy.linalg.solve_triangular(chol.T, xi, lower=False)
+    return xi / chol
 
 
 def leapfrog(grad_fn: Callable, q, p, step_size, inv_mass, num_steps):
@@ -105,7 +141,7 @@ def leapfrog(grad_fn: Callable, q, p, step_size, inv_mass, num_steps):
     def body(_, carry):
         q, p, g = carry
         p_half = p + 0.5 * step_size * g  # g = ∇logp
-        q_new = q + step_size * inv_mass * p_half
+        q_new = q + step_size * velocity(inv_mass, p_half)
         g_new = grad_fn(q_new)
         p_new = p_half + 0.5 * step_size * g_new
         return q_new, p_new, g_new
@@ -115,7 +151,7 @@ def leapfrog(grad_fn: Callable, q, p, step_size, inv_mass, num_steps):
 
 
 def kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass)
+    return 0.5 * jnp.sum(p * velocity(inv_mass, p))
 
 
 class HMCState(NamedTuple):
@@ -126,7 +162,8 @@ class HMCState(NamedTuple):
 
 def hmc_step(logp_fn, grad_fn, state: HMCState, step_size, inv_mass, num_steps):
     key, k_mom, k_acc = jax.random.split(state.key, 3)
-    p0 = jax.random.normal(k_mom, state.q.shape, dtype=state.q.dtype) / jnp.sqrt(inv_mass)
+    p0 = sample_momentum(k_mom, inv_mass, shape=state.q.shape,
+                         dtype=state.q.dtype)
     q_new, p_new, _ = leapfrog(grad_fn, state.q, p0, step_size, inv_mass, num_steps)
     logp_new = logp_fn(q_new)
     h0 = -state.logp + kinetic(p0, inv_mass)
@@ -142,7 +179,7 @@ def hmc_step(logp_fn, grad_fn, state: HMCState, step_size, inv_mass, num_steps):
 def find_reasonable_step_size(logp_fn, grad_fn, q, inv_mass, key, init=1.0):
     """Double/halve until the one-step acceptance crosses 0.5
     (Hoffman & Gelman Alg. 4)."""
-    p = jax.random.normal(key, q.shape, dtype=q.dtype) / jnp.sqrt(inv_mass)
+    p = sample_momentum(key, inv_mass, shape=q.shape, dtype=q.dtype)
     h0 = -logp_fn(q) + kinetic(p, inv_mass)
 
     def energy_at(eps):

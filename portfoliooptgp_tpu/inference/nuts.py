@@ -65,11 +65,13 @@ class _SubtreeState(NamedTuple):
 
 
 def _single_leapfrog(vg_fn, leaf: _Leaf, eps, inv_mass):
+    from portfoliooptgp_tpu.inference.hmc import kinetic, velocity
+
     p_half = leaf.p + 0.5 * eps * leaf.grad
-    q_new = leaf.q + eps * inv_mass * p_half
+    q_new = leaf.q + eps * velocity(inv_mass, p_half)
     logp_new, g_new = vg_fn(q_new)  # ONE fused eval for value AND gradient
     p_new = p_half + 0.5 * eps * g_new
-    energy = -logp_new + 0.5 * jnp.sum(p_new * p_new * inv_mass)
+    energy = -logp_new + kinetic(p_new, inv_mass)
     energy = jnp.where(jnp.isfinite(energy), energy, jnp.inf)
     return _Leaf(q_new, p_new, g_new, logp_new, energy)
 
@@ -151,8 +153,13 @@ def _build_subtree(vg_fn, start: _Leaf, depth, eps, inv_mass, h0,
         is_first = (s == 1)[:, None]
         rho_sub = jnp.where(is_first, rho[None, :], rho[None, :] - rho_before_k)
         p_left = jnp.where(is_first, first_p[None, :], p_left_k)
-        turn_k = (jnp.sum(rho_sub * p_left, axis=1) < 0) | (
-            jnp.sum(rho_sub * leaf.p[None, :], axis=1) < 0
+        # generalized U-turn on VELOCITIES: ρᵀ M⁻¹ p endpoint checks (Stan's
+        # criterion); with a dense metric the row-matvec is a (K,d)@(d,d)
+        v_left = p_left @ inv_mass if inv_mass.ndim == 2 else p_left * inv_mass
+        v_right = (leaf.p @ inv_mass if inv_mass.ndim == 2
+                   else leaf.p * inv_mass)[None, :]
+        turn_k = (jnp.sum(rho_sub * v_left, axis=1) < 0) | (
+            jnp.sum(rho_sub * v_right, axis=1) < 0
         )
         applies = ks <= tz
         turning = st.turning | jnp.any(applies & turn_k)
@@ -179,17 +186,24 @@ class NUTSInfo(NamedTuple):
 
 
 def nuts_step(vg_fn, q, logp, key, step_size, inv_mass,
-              max_depth: int = 10, grad0=None):
+              max_depth: int = 10, grad0=None, mass_chol_factor=None):
     """One NUTS transition on flat parameters. `vg_fn(q) -> (logp, grad)`
     evaluates value and gradient jointly (one fused call per leapfrog).
     `grad0` (optional) is the gradient at q, carried over from the previous
     transition's final leaf so the root needs no extra evaluation.
+    `inv_mass` is a (dim,) diagonal or (dim, dim) DENSE inverse metric Σ;
+    `mass_chol_factor` (optional) caches hmc.mass_chol(inv_mass) so the
+    momentum draw does not refactor Σ every transition.
     Returns (q', logp', grad', info)."""
+    from portfoliooptgp_tpu.inference.hmc import (kinetic, sample_momentum,
+                                                  velocity)
+
     dtype = q.dtype
     key, k_mom = jax.random.split(key)
-    p0 = jax.random.normal(k_mom, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
+    p0 = sample_momentum(k_mom, inv_mass, chol=mass_chol_factor,
+                         shape=q.shape, dtype=dtype)
     g0 = grad0 if grad0 is not None else vg_fn(q)[1]
-    h0 = -logp + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+    h0 = -logp + kinetic(p0, inv_mass)
     root = _Leaf(q=q, p=p0, grad=g0, logp=logp, energy=h0)
 
     class Carry(NamedTuple):
@@ -252,7 +266,8 @@ def nuts_step(vg_fn, q, logp, key, step_size, inv_mass,
             st.leaf, c.left,
         )
         rho = jnp.where(bad_subtree, c.rho, c.rho + st.rho)
-        full_turn = (jnp.dot(rho, new_left.p) < 0) | (jnp.dot(rho, new_right.p) < 0)
+        full_turn = (jnp.dot(rho, velocity(inv_mass, new_left.p)) < 0) | (
+            jnp.dot(rho, velocity(inv_mass, new_right.p)) < 0)
         return Carry(
             key=key, depth=c.depth + 1, left=new_left, right=new_right,
             rho=rho, prop_q=prop_q, prop_logp=prop_logp, prop_grad=prop_grad,

@@ -61,6 +61,7 @@ def _warmup_and_sample_flat(
     axis_name: Optional[str],
     grad_fn: Optional[Callable] = None,
     vg_fn: Optional[Callable] = None,
+    dense_mass: bool = False,
 ):
     if grad_fn is None:
         grad_fn = (lambda z: vg_fn(z)[1]) if vg_fn is not None else jax.grad(logp_fn)
@@ -69,7 +70,8 @@ def _warmup_and_sample_flat(
     dtype = q0.dtype
     dim = q0.shape[0]
 
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
+    chol0 = hmc_mod.mass_chol(inv_mass0)
     key, k_eps = jax.random.split(key)
     eps0 = hmc_mod.find_reasonable_step_size(logp_fn, grad_fn, q0, inv_mass0, k_eps)
     if axis_name is not None:
@@ -80,17 +82,18 @@ def _warmup_and_sample_flat(
         # (measured: per-chain mean 62 leaves/draw but lockstep mean 207).
         eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), axis_name))
     da = hmc_mod.da_init(eps0)
-    wf = hmc_mod.welford_init(dim, dtype)
+    wf = hmc_mod.welford_init(dim, dtype, dense=dense_mass)
 
     mass_start = int(num_warmup * 0.15)
     mass_end = int(num_warmup * 0.9)
 
     def warmup_step(carry, i):
-        q, logp, grad, key, da, wf, inv_mass = carry
+        q, logp, grad, key, da, wf, inv_mass, chol = carry
         key, k_step = jax.random.split(key)
         eps = jnp.exp(da.log_step)
         q, logp, grad, info = nuts_mod.nuts_step(
-            vg_fn, q, logp, k_step, eps, inv_mass, max_depth, grad0=grad
+            vg_fn, q, logp, k_step, eps, inv_mass, max_depth, grad0=grad,
+            mass_chol_factor=chol,
         )
         accept = info.accept_prob
         if axis_name is not None:
@@ -102,19 +105,21 @@ def _warmup_and_sample_flat(
             hmc_mod.welford_update(wf, q), wf,
         )
 
-        # at the end of the mass window: set mass, reset step-size adaptation
+        # at the end of the mass window: set mass (and its momentum factor,
+        # refactored ONCE here), reset step-size adaptation
         at_switch = i == mass_end
         new_inv_mass = hmc_mod.welford_variance(wf, axis_name)
         inv_mass = jnp.where(at_switch, new_inv_mass, inv_mass)
+        chol = jnp.where(at_switch, hmc_mod.mass_chol(new_inv_mass), chol)
         da = jax.tree.map(
             lambda fresh, old: jnp.where(at_switch, fresh, old),
             hmc_mod.da_init(jnp.exp(da.log_step)), da,
         )
-        return (q, logp, grad, key, da, wf, inv_mass), None
+        return (q, logp, grad, key, da, wf, inv_mass, chol), None
 
     logp0, grad0 = vg_fn(q0)
-    (q, logp, grad, key, da, wf, inv_mass), _ = jax.lax.scan(
-        warmup_step, (q0, logp0, grad0, key, da, wf, inv_mass0),
+    (q, logp, grad, key, da, wf, inv_mass, chol), _ = jax.lax.scan(
+        warmup_step, (q0, logp0, grad0, key, da, wf, inv_mass0, chol0),
         jnp.arange(num_warmup),
     )
     eps_final = jnp.exp(da.log_step_avg)
@@ -123,7 +128,8 @@ def _warmup_and_sample_flat(
         q, logp, grad, key = carry
         key, k_step = jax.random.split(key)
         q, logp, grad, info = nuts_mod.nuts_step(
-            vg_fn, q, logp, k_step, eps_final, inv_mass, max_depth, grad0=grad
+            vg_fn, q, logp, k_step, eps_final, inv_mass, max_depth, grad0=grad,
+            mass_chol_factor=chol,
         )
         return (q, logp, grad, key), (q, info.accept_prob, info.num_leaves, info.diverging)
 
@@ -150,8 +156,15 @@ def sample_nuts(
     grad_fn: Optional[Callable] = None,
     vg_fn: Optional[Callable] = None,
     share_adaptation: bool = True,
+    dense_mass: bool = False,
 ):
     """Sample a pytree-parameter posterior with multi-chain NUTS.
+
+    `dense_mass=True` adapts a DENSE inverse metric (full Welford covariance
+    of the warmup draws, Stan-style shrinkage) instead of the diagonal —
+    worthwhile for the correlated ridges of GP hyperposteriors (measured
+    corr(variance, lengthscale) ≈ 0.67 on the N=128 bench posterior) at
+    dims ≤ ~16 where the d×d matvec per leapfrog is free on the VPU.
 
     `grad_fn` (pytree → pytree, optional) overrides jax.grad(logdensity_fn).
     `vg_fn` (pytree → (scalar, pytree), optional) evaluates log-density and
@@ -202,6 +215,7 @@ def sample_nuts(
         return _warmup_and_sample_flat(
             logp_flat, q0, key, num_warmup, num_samples, max_depth,
             target_accept, adapt_axes, grad_fn=grad_flat, vg_fn=vg_flat,
+            dense_mass=dense_mass,
         )
 
     keys = jax.random.split(key, num_chains)

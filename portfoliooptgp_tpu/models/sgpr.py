@@ -42,14 +42,14 @@ class SGPR:
         )
 
 
-def _common(model: SGPR, X, Y):
+def _common(model: SGPR, X, Y, chol_fn=linalg.cholesky_guarded):
     sigma2 = model.likelihood.variance
     sigma = jnp.sqrt(sigma2)
     err = Y - model.mean_function(X)
     from portfoliooptgp_tpu.models.svgp import jittered_kuu
 
     Kuu = jittered_kuu(model.kernel, model.Z)
-    Luu, _ = linalg.cholesky_guarded(Kuu)
+    Luu, _ = chol_fn(Kuu)
     Kuf = model.kernel.K(model.Z, X)
     A = linalg.solve_lower(Luu, Kuf) / sigma  # (M, N)
     B = linalg.add_diag(A @ A.T, 1.0)
@@ -76,8 +76,13 @@ def neg_elbo(model: SGPR, X, Y):
 
 
 def predict_f(model: SGPR, X, Y, Xnew, full_cov: bool = False):
-    """Posterior q(f(Xnew)) under the optimal collapsed q(u)."""
-    sigma2, err, Luu, A, LB, c = _common(model, X, Y)
+    """Posterior q(f(Xnew)) under the optimal collapsed q(u).
+
+    Prediction is not per-step hot, so Kuu goes through the safe_cholesky
+    jitter-escalation ladder (an ill-conditioned Kuu recovers at a larger
+    jitter instead of returning NaN to pipeline callers); the ELBO keeps the
+    single guarded factorization whose NaN loss the trainers mask."""
+    sigma2, err, Luu, A, LB, c = _common(model, X, Y, chol_fn=linalg.safe_cholesky)
     Kus = model.kernel.K(model.Z, Xnew)  # (M, S)
     tmp1 = linalg.solve_lower(Luu, Kus)  # Luu⁻¹ Kus
     tmp2 = linalg.solve_lower(LB, tmp1)  # LB⁻¹ Luu⁻¹ Kus

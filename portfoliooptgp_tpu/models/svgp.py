@@ -98,16 +98,9 @@ def prior_kl(model: SVGP):
     return 0.5 * (trace + quad - M * P - logdet)
 
 
-def predict_f(model: SVGP, Xnew, full_cov: bool = False):
-    """q(f(Xnew)) marginal mean/var under the whitened posterior. Kuu is
-    factored ONCE at the dtype-scaled jitter (1e-4 in float32 — adequate at
-    reference-scale inducing densities, cond(Kuu) ~ 1e6+) with a NaN-guarded
-    VJP: a failed factorization makes the ELBO NaN (masked by the trainers)
-    with zero gradients, instead of paying the 6-factorization jitter ladder
-    on every training step (the ladder was >50% of the SVGP ELBO step time
-    on v5e)."""
+def _predict_f(model: SVGP, Xnew, full_cov, chol_fn):
     Kuu = jittered_kuu(model.kernel, model.Z)
-    Luu, _ = linalg.cholesky_guarded(Kuu)
+    Luu, _ = chol_fn(Kuu)
     Kuf = model.kernel.K(model.Z, Xnew)  # (M, N)
     A = linalg.solve_lower(Luu, Kuf)  # (M, N)
     mean = A.T @ model.q_mu + model.mean_function(Xnew)
@@ -123,6 +116,27 @@ def predict_f(model: SVGP, Xnew, full_cov: bool = False):
     return mean, var.T  # (N, P)
 
 
+def predict_f(model: SVGP, Xnew, full_cov: bool = False):
+    """q(f(Xnew)) marginal mean/var under the whitened posterior.
+
+    Public prediction surface: Kuu is factored through the `safe_cholesky`
+    jitter-escalation ladder, so an ill-conditioned Kuu at prediction time
+    recovers with a larger jitter instead of surfacing NaN mean/variance to
+    the pipelines/portfolio callers. The per-step training path uses
+    `predict_f_guarded` instead (one factorization; a failure becomes a NaN
+    loss masked by the trainers), because the ladder was >50% of the SVGP
+    ELBO step time on v5e while prediction runs once per horizon."""
+    return _predict_f(model, Xnew, full_cov, linalg.safe_cholesky)
+
+
+def predict_f_guarded(model: SVGP, Xnew, full_cov: bool = False):
+    """Hot-path posterior used inside the ELBO: ONE Kuu factorization at the
+    dtype-scaled jitter with a NaN-guarded VJP — a failed factorization makes
+    the ELBO NaN (masked by the trainers) with zero gradients, instead of
+    paying the 6-factorization jitter ladder on every training step."""
+    return _predict_f(model, Xnew, full_cov, linalg.cholesky_guarded)
+
+
 def predict_y(model: SVGP, Xnew):
     mean, var = predict_f(model, Xnew)
     return model.likelihood.predict_mean_and_var(mean, var)
@@ -132,7 +146,7 @@ def elbo(model: SVGP, X, Y, num_data: Optional[int] = None):
     """Minibatch evidence lower bound (training_loss_closure parity,
     test_scripts/SVGP.py:530). `num_data` rescales the likelihood term when
     (X, Y) is a minibatch."""
-    mean, var = predict_f(model, X)
+    mean, var = predict_f_guarded(model, X)
     ve = model.likelihood.variational_expectations(mean, var, Y)
     scale = 1.0 if num_data is None else num_data / X.shape[0]
     return jnp.sum(ve) * scale - prior_kl(model)
@@ -140,3 +154,77 @@ def elbo(model: SVGP, X, Y, num_data: Optional[int] = None):
 
 def neg_elbo(model: SVGP, X, Y, num_data: Optional[int] = None):
     return -elbo(model, X, Y, num_data)
+
+
+def gaussian_elbo_gram(model: SVGP, X, Y, weights=None,
+                       num_data: Optional[int] = None):
+    """Gaussian-likelihood ELBO in Gram-accumulation form — the TPU-native
+    restatement of the per-point whitened posterior (VERDICT r3 item 2).
+
+    The textbook path (predict_f → variational_expectations) solves the
+    M×B triangular system A = Luu⁻¹ Kuf and reads off per-point means and
+    variances — on TPU that trisolve is a latency-bound blocked loop and the
+    per-point var/ve chain is a string of small VPU ops. For a GAUSSIAN
+    likelihood the batch only enters the ELBO through three reductions:
+
+        Σ_b w (y−mean)²,   Σ_b w Kdiag,   and the weighted Gram
+        G = Kuf diag(w) Kufᵀ  (M×M),
+
+    because  Σ_b w‖A_b‖² = tr(Kuu⁻¹ G) = tr(C)  and
+             Σ_b w‖SA_b‖² = Σ_p ⟨C, L_p L_pᵀ⟩  with  C = Luu⁻¹ G Luu⁻ᵀ.
+
+    So the whole batch collapses into ONE MXU matmul (the G syrk), one
+    matvec for the means, and M×M ops — no M×B solve in the forward OR the
+    VJP (autodiff of G = Kw Kufᵀ is another matmul). Exactly equal to
+    `elbo` (same whitening convention) up to float reduction order; parity
+    is tested in tests/test_sparse.py. Replaces the per-step cost model of
+    gpflow's SVGP.training_loss at test_scripts/SVGP.py:515-533.
+
+    weights: optional (B,) row weights (0 = padding row, as in the sharded
+    path). num_data rescales the likelihood term for minibatches.
+    """
+    Luu = gram_chol(model)
+    partials = gram_partials(model, Luu, X, Y, weights)
+    return gram_finish(model, Luu, partials, num_data)
+
+
+def gram_chol(model: SVGP):
+    """Luu for the Gram-accumulation path (one guarded factorization)."""
+    Kuu = jittered_kuu(model.kernel, model.Z)
+    Luu, _ = linalg.cholesky_guarded(Kuu)
+    return Luu
+
+
+def gram_partials(model: SVGP, Luu, X, Y, weights=None):
+    """Per-shard reductions of the Gaussian ELBO: (G, sq_err, kdiag_w, W).
+    Every element is ADDITIVE across row shards, so the sharded path psums
+    this tuple and finishes replicated (parallel/elbo_sharded.py)."""
+    Kuf = model.kernel.K(model.Z, X)  # (M, B)
+    B = X.shape[0]
+    w = jnp.ones((B,), Kuf.dtype) if weights is None else weights
+    Kw = Kuf * w[None, :]
+    G = Kw @ Kuf.T  # (M, M) weighted Gram
+    t = linalg.solve_upper_t(Luu, model.q_mu)  # (M, P) = Luu⁻ᵀ q_mu
+    mean = Kuf.T @ t + model.mean_function(X)  # (B, P)
+    err = Y - mean
+    sq_err = jnp.sum(err * err * w[:, None])
+    kdiag_w = jnp.sum(model.kernel.Kdiag(X) * w)
+    return G, sq_err, kdiag_w, jnp.sum(w)
+
+
+def gram_finish(model: SVGP, Luu, partials, num_data: Optional[int] = None):
+    """Finish the Gaussian ELBO from (psum'd) Gram partials: M×M ops only."""
+    G, sq_err, kdiag_w, W = partials
+    sigma2 = model.likelihood.variance
+    HG = linalg.solve_lower(Luu, G)  # Luu⁻¹ G
+    C = linalg.solve_lower(Luu, HG.T)  # Luu⁻¹ G Luu⁻ᵀ (symmetric)
+    LS = _tril(model.q_sqrt)  # (P, M, M)
+    CL = jnp.einsum("mn,pnk->pmk", C, LS)
+    P = model.q_sqrt.shape[0]
+    sum_var = P * (kdiag_w - jnp.trace(C)) + jnp.sum(CL * LS)
+    ve_sum = (
+        -0.5 * W * P * jnp.log(2.0 * jnp.pi * sigma2)
+        - 0.5 * (sq_err + sum_var) / sigma2
+    )
+    scale = 1.0 if num_data is None else num_data / jnp.maximum(W, 1.0)
+    return ve_sum * scale - prior_kl(model)

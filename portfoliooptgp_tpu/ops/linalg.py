@@ -61,7 +61,7 @@ def _cng_bwd(L, Lbar):
 _cholesky_nan_guarded.defvjp(_cng_fwd, _cng_bwd)
 
 
-def cholesky_guarded(K, ok=True):
+def cholesky_guarded(K):
     """One cholesky(K) factorization with the NaN-guarded VJP and a finiteness
     flag. The hot-path alternative to `safe_cholesky`: no jitter escalation,
     no `lax.cond` (a TPU conditional costs ~85µs — 5× the 128×128

@@ -227,12 +227,22 @@ def blocked_triangular_inverse(L, interpret=None):
     blocks = L.reshape(B, P, PW, P, PW)
     diag = jnp.diagonal(blocks, axis1=1, axis2=3)  # (B, PW, PW, P)
     flat = jnp.transpose(diag, (0, 3, 1, 2)).reshape(B * P, PW, PW)
-    A_layout = jnp.transpose(flat, (2, 0, 1))  # (col, B·P, row)
     BP = B * P
-    b_tile = next(t for t in (32, 16, 8) if BP % t == 0)
+    # the Pallas inverse tiles the batch on sublanes in groups of 8; pad the
+    # batch with identity blocks (whose inverse is identity, sliced away)
+    # rather than failing on e.g. B=1 with an odd panel count
+    b_tile = next((t for t in (32, 16, 8) if BP % t == 0), None)
+    BPpad = BP
+    if b_tile is None:
+        BPpad = -(-BP // 8) * 8
+        eye_pad = jnp.broadcast_to(jnp.eye(PW, dtype=dtype), (BPpad - BP, PW, PW))
+        flat = jnp.concatenate([flat, eye_pad], axis=0)
+        b_tile = next(t for t in (32, 16, 8) if BPpad % t == 0)
+    A_layout = jnp.transpose(flat, (2, 0, 1))  # (col, B·P, row)
     W_layout = triangular_inverse_pallas(A_layout, b_tile=b_tile,
                                          interpret=interpret)
-    cur = jnp.transpose(W_layout, (1, 0, 2)).reshape(B, P, PW, PW)
+    W_flat = jnp.transpose(W_layout, (1, 0, 2))[:BP]
+    cur = W_flat.reshape(B, P, PW, PW)
 
     # 2) pairwise combine: nb blocks of width w -> nb/2 blocks of width 2w
     # backward-only math: 3-pass bf16 ("high") is 1.5-2x faster than

@@ -23,14 +23,19 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from portfoliooptgp_tpu.models import svgp as svgp_mod
+from portfoliooptgp_tpu.models.likelihoods import Gaussian
 from portfoliooptgp_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
 
 
 def weighted_expectation_sum(model, X, Y, w):
     """Σ_n w_n E_q[log p(y_n | f_n)] for the local shard."""
-    mean, var = svgp_mod.predict_f(model, X)
+    mean, var = svgp_mod.predict_f_guarded(model, X)
     ve = model.likelihood.variational_expectations(mean, var, Y)
     return jnp.sum(ve * w[:, None])
+
+
+def _is_gaussian(model) -> bool:
+    return isinstance(model.likelihood, Gaussian)
 
 
 def sharded_neg_elbo(model, X, Y, w, num_data: int, mesh: Mesh):
@@ -39,14 +44,34 @@ def sharded_neg_elbo(model, X, Y, w, num_data: int, mesh: Mesh):
     X, Y, w must be sharded with rows over DATA_AXIS (mesh.shard_batch);
     the model is replicated. Returns a scalar identical (up to float
     reduction order) to the single-device `svgp.elbo`.
+
+    Gaussian likelihood takes the Gram-accumulation route
+    (svgp.gaussian_elbo_gram): each shard reduces its rows into the additive
+    (G, sq_err, kdiag_w, W) tuple, ONE psum of ~M²+3 floats combines them,
+    and the M×M finish runs replicated — the collective payload is
+    independent of the shard batch size.
     """
 
-    def local(model, Xl, Yl, wl):
-        ve_local = weighted_expectation_sum(model, Xl, Yl, wl)
-        ve_total = jax.lax.psum(ve_local, DATA_AXIS)
-        n_total = jax.lax.psum(jnp.sum(wl), DATA_AXIS)
-        scale = num_data / n_total
-        return -(ve_total * scale - svgp_mod.prior_kl(model))
+    if _is_gaussian(model):
+
+        def local(model, Xl, Yl, wl):
+            Luu = svgp_mod.gram_chol(model)
+            partials = svgp_mod.gram_partials(model, Luu, Xl, Yl, wl)
+            partials = jax.lax.psum(partials, DATA_AXIS)
+            # scale matches the historical sharded path: num_data / Σw
+            G, sq_err, kdiag_w, W = partials
+            elbo = svgp_mod.gram_finish(
+                model, Luu, (G, sq_err, kdiag_w, W), num_data)
+            return -elbo
+
+    else:
+
+        def local(model, Xl, Yl, wl):
+            ve_local = weighted_expectation_sum(model, Xl, Yl, wl)
+            ve_total = jax.lax.psum(ve_local, DATA_AXIS)
+            n_total = jax.lax.psum(jnp.sum(wl), DATA_AXIS)
+            scale = num_data / n_total
+            return -(ve_total * scale - svgp_mod.prior_kl(model))
 
     f = jax.shard_map(
         local,
@@ -90,6 +115,11 @@ def make_elbo_train_step(
     def loss_fn(model, X, Y, w):
         if mesh is not None and mesh.size > 1:
             return sharded_neg_elbo(model, X, Y, w, num_data, mesh)
+        if _is_gaussian(model):
+            # Gram-accumulation ELBO: batch collapses into one MXU syrk,
+            # no M×B trisolve in forward or VJP (svgp.gaussian_elbo_gram)
+            return -svgp_mod.gaussian_elbo_gram(model, X, Y, weights=w,
+                                                num_data=num_data)
         ve = weighted_expectation_sum(model, X, Y, w)
         scale = num_data / jnp.maximum(jnp.sum(w), 1.0)
         return -(ve * scale - svgp_mod.prior_kl(model))

@@ -79,7 +79,7 @@ class Portfolio:
             return strategy.optimize(
                 self.optimizer,
                 max_volatility,
-                prob_threshold,
+                min_return,
                 mu_A=mu_A,
                 cov_A=cov_A,
                 mu_B=mu_B,

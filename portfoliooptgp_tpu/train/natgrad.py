@@ -66,7 +66,7 @@ def natgrad_step(model, X, Y, *, num_data: Optional[int] = None, gamma: float = 
     def elbo_of_xi(q_mu, q_sqrt):
         m = dataclasses.replace(model, q_mu=q_mu, q_sqrt=q_sqrt)
         if weights is not None:
-            ve = svgp_mod.predict_f(m, X)
+            ve = svgp_mod.predict_f_guarded(m, X)
             mean, var = ve
             lp = m.likelihood.variational_expectations(mean, var, Y)
             scale = 1.0 if num_data is None else num_data / jnp.sum(weights)

@@ -112,6 +112,17 @@ SLOW_TESTS = {
 }
 
 
+# Promoted parity gates: these run in the DEFAULT tier even though they are
+# slow-marked, so a plain `pytest -q` fails if reference parity breaks
+# (one golden single-asset config, one sharded-ELBO bit-match, one
+# batched-vs-sequential walk-forward case). Full test ids incl. param suffix.
+FAST_PARITY_OVERRIDE = {
+    "test_single_asset_hyperparameter_and_posterior_parity[AAPL-d]",
+    "test_sharded_elbo_matches_single_device",
+    "test_batched_walk_forward_matches_sequential",
+}
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--slow", action="store_true", default=False,
@@ -128,6 +139,8 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="slow (>5s); opt in with --slow")
     for item in items:
+        if item.name in FAST_PARITY_OVERRIDE:
+            continue
         base = item.name.split("[")[0]
         if base in SLOW_TESTS or "slow" in item.keywords:
             item.add_marker(skip)

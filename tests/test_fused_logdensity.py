@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from portfoliooptgp_tpu import kernels as km
-from portfoliooptgp_tpu.inference.fused_logdensity import gpr_logdensity_pair
+from portfoliooptgp_tpu.inference.fused_logdensity import (
+    gpr_logdensity_pair,
+    gpr_logdensity_vg,
+)
 from portfoliooptgp_tpu.inference.sampler import sample_nuts
 from portfoliooptgp_tpu.models import gpr
 
@@ -38,6 +41,28 @@ def test_scalar_and_vmapped_match_dense(rng):
     gv = jax.vmap(grad)(ms)
     gr = jax.vmap(jax.grad(lambda m: gpr.log_marginal_likelihood(m, X, Y)))(ms)
     for a, b in zip(jax.tree.leaves(gv), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_vg_scalar_and_vmapped_match_dense(rng):
+    # the joint value+grad surface (custom_vmap rule via jax.vjp of the
+    # batched NLL) used by bench.py / sample_nuts — checked against
+    # jax.value_and_grad of the dense log-density, scalar and vmapped
+    X, Y, m0 = _problem(rng)
+    vg = gpr_logdensity_vg(X, Y)
+    dense = jax.value_and_grad(lambda m: gpr.log_marginal_likelihood(m, X, Y))
+
+    v, g = vg(m0)
+    vr, gr = dense(m0)
+    assert abs(float(v) - float(vr)) < 1e-3
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+    ms = _stack(m0, 4)
+    vv, gv = jax.vmap(vg)(ms)
+    vrv, grv = jax.vmap(dense)(ms)
+    np.testing.assert_allclose(np.asarray(vv), np.asarray(vrv), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(gv), jax.tree.leaves(grv)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 

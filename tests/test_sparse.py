@@ -68,6 +68,41 @@ def test_svgp_elbo_below_lml_and_trains(rng):
     assert np.all(np.asarray(var) >= 0)
 
 
+def test_gaussian_elbo_gram_matches_reference(rng):
+    """The Gram-accumulation ELBO (no M×B trisolve) equals the per-point
+    whitened path, values and gradients, with and without row weights."""
+    X, Y = make_data(rng, n=60)
+    model = svgp.SVGP.create(
+        km.SquaredExponential.create(variance=1.3, lengthscales=0.8),
+        inducing_points=X[::5],
+        likelihood=Gaussian.create(0.07),
+    )
+    # non-trivial variational state so every term is exercised
+    M = model.num_inducing
+    import dataclasses
+    model = dataclasses.replace(model,
+        q_mu=jnp.asarray(rng.normal(size=(M, 1))),
+        q_sqrt=jnp.asarray(np.tril(rng.normal(size=(1, M, M)) * 0.3
+                                   + np.eye(M))),
+    )
+
+    ref = float(svgp.elbo(model, X, Y, num_data=100))
+    got = float(svgp.gaussian_elbo_gram(model, X, Y, num_data=100))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+    gref = jax.grad(lambda m: svgp.elbo(m, X, Y, num_data=100))(model)
+    ggot = jax.grad(lambda m: svgp.gaussian_elbo_gram(m, X, Y, num_data=100))(model)
+    for a, b in zip(jax.tree.leaves(ggot), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-8)
+
+    # weighted form ≡ dropping the zero-weight rows
+    w = jnp.asarray((np.arange(60) < 45).astype(np.float64))
+    got_w = float(svgp.gaussian_elbo_gram(model, X, Y, weights=w, num_data=100))
+    ref_w = float(svgp.elbo(model, X[:45], Y[:45], num_data=100))
+    np.testing.assert_allclose(got_w, ref_w, rtol=1e-10)
+
+
 def test_svgp_minibatch_unbiased(rng):
     """Scaled minibatch ELBOs over a disjoint partition average to the full
     ELBO (the property that makes data-sharding with psum exact)."""

@@ -1,10 +1,14 @@
 """On-TPU smoke tier: exercise every NLL dispatch tier + the blocked
-N=4096 path + a short SVGP train ON THE REAL CHIP and assert finiteness and
-parity vs the XLA fallback (VERDICT r2 item 7).
+N=4096 path + the masked walk-forward fused path + the fused NUTS
+log-density pair + a short SVGP train ON THE REAL CHIP and assert
+finiteness and parity vs the XLA fallback (VERDICT r2 item 7, r3 item 1).
 
 CI runs the Pallas kernels in CPU interpret mode (tests/conftest.py), so
 Mosaic lowering and VMEM-budget regressions are invisible to pytest; this
-script is the mechanical on-chip gate. One command, exit-code gated:
+script is the mechanical on-chip gate. It is ALSO run by bench.py at the
+start of every driver round (SMOKE.json artifact at the repo root with
+per-check max-abs-err), so a lowering regression in any tier cannot ship
+silently behind a still-green headline bench. Standalone:
 
     timeout 1800 python tools/smoke_tpu.py        # on the axon/TPU host
 
@@ -23,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> int:
+def run_smoke():
+    """Run every check; returns (results, backend) where results is a list of
+    {"name", "ok", "max_abs_err" | "error"} dicts. max_abs_err is the worst
+    normalized |fast − reference| across the check's value AND gradient
+    comparisons (already divided by the per-leaf scale the assertion uses)."""
     import jax
     import jax.numpy as jnp
 
@@ -31,18 +39,22 @@ def main() -> int:
     from portfoliooptgp_tpu.models import gpr
     from portfoliooptgp_tpu.train import lbfgs
 
-    if jax.default_backend() == "cpu":
+    backend = jax.default_backend()
+    if backend == "cpu":
         print("WARNING: no TPU backend — smoke will run interpret-mode "
               "kernels and prove nothing about Mosaic lowering")
 
-    failures = []
+    results = []
 
     def check(name, fn):
         try:
-            fn()
-            print(f"PASS {name}")
+            err = fn()
+            results.append({"name": name, "ok": True,
+                            "max_abs_err": None if err is None else float(err)})
+            print(f"PASS {name}" + ("" if err is None else f" (err {err:.2e})"))
         except Exception as e:  # noqa: BLE001 — report and continue
-            failures.append(name)
+            results.append({"name": name, "ok": False,
+                            "error": f"{type(e).__name__}: {e}"})
             print(f"FAIL {name}: {type(e).__name__}: {e}")
 
     rng = np.random.default_rng(0)
@@ -56,6 +68,18 @@ def main() -> int:
     def stack(models):
         return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
                             lbfgs.stack_pytrees(models))
+
+    def grad_err(gf, gr, gtol):
+        """max over leaves of normalized |fast − ref|; asserts within gtol."""
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.all(np.isfinite(a)), "non-finite fast grad"
+            scale = max(np.abs(b).max(), 1.0)
+            e = np.abs(a - b).max() / scale
+            worst = max(worst, float(e))
+            np.testing.assert_allclose(a / scale, b / scale, atol=gtol)
+        return worst
 
     def tier_check(name, models, n, d=1, expect=None, gtol=2e-2):
         def run():
@@ -71,16 +95,13 @@ def main() -> int:
             fast, ref = np.asarray(f(s)), np.asarray(r(s))
             assert np.all(np.isfinite(fast)), "non-finite fast NLL"
             np.testing.assert_allclose(fast, ref, rtol=3e-3)
+            verr = float(np.abs((fast - ref) / ref).max())
             gf = jax.jit(jax.grad(lambda m: jnp.sum(
                 gpr.batched_neg_log_marginal_likelihood(m, X, Y))))(s)
             gr = jax.jit(jax.grad(lambda m: jnp.sum(
                 gpr.batched_neg_log_marginal_likelihood(m, X, Y,
                                                         fast=False))))(s)
-            for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
-                a, b = np.asarray(a), np.asarray(b)
-                assert np.all(np.isfinite(a)), "non-finite fast grad"
-                scale = max(np.abs(b).max(), 1.0)
-                np.testing.assert_allclose(a / scale, b / scale, atol=gtol)
+            return max(verr, grad_err(gf, gr, gtol))
         check(name, run)
 
     B = 16
@@ -129,6 +150,8 @@ def main() -> int:
     # direct blocked path at its N=4096 ceiling (VMEM/Mosaic stress):
     # forward finiteness + logdet parity vs XLA cholesky
     def blocked_4096():
+        import jax.numpy as jnp
+
         from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
 
         n = 4096
@@ -150,10 +173,79 @@ def main() -> int:
                     + 0.5 * n * jnp.log(2 * jnp.pi))
         ref = np.asarray(jax.jit(xla)(K, y, noise))
         np.testing.assert_allclose(nll, ref, rtol=3e-4)
+        return float(np.abs((nll - ref) / ref).max())
     check("blocked direct N=4096", blocked_4096)
+
+    # masked walk-forward fused path: mask-aware fused general NLL equals
+    # the dense pad-and-mask system (pipelines/walk_forward.py masked_nll),
+    # values AND grads — the primitive behind batched_walk_forward
+    def masked_walk_forward():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.ops.pallas import stationary_nll as st
+        from portfoliooptgp_tpu.pipelines.walk_forward import masked_nll
+
+        n = 128
+        X, Y = data(n)
+        s = stack([gpr.GPR.create(km.SquaredExponential.create(float(v), 2.0),
+                                  noise_variance=0.1) for v in vs[:8]])
+        cuts = np.linspace(64, n, 8).astype(np.int64)
+        masks = jnp.asarray(np.arange(n)[None, :] < cuts[:, None], jnp.float32)
+
+        def fused(s):
+            sp = gpr.fused_stationary_spec(s, X)
+            nz = jax.vmap(lambda m: m.likelihood.variance)(s)
+            e = Y[None, :, 0] * masks
+            out = st.batched_nll_stationary_general(
+                sp.families, sp.d2s, e, sp.vs, sp.ls, sp.als, nz, masks)
+            n_eff = jnp.sum(masks, axis=1)
+            return out - 0.5 * (n - n_eff) * jnp.log(2.0 * jnp.pi)
+
+        def dense(s):
+            return jax.vmap(lambda m, msk: masked_nll(m, X, Y, msk))(s, masks)
+
+        got = np.asarray(jax.jit(fused)(s))
+        want = np.asarray(jax.jit(dense)(s))
+        assert np.all(np.isfinite(got)), "non-finite masked fused NLL"
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+        verr = float(np.abs((got - want) / want).max())
+        gf = jax.jit(jax.grad(lambda s: jnp.sum(fused(s))))(s)
+        gr = jax.jit(jax.grad(lambda s: jnp.sum(dense(s))))(s)
+        return max(verr, grad_err(gf, gr, 2e-2))
+    check("masked walk-forward fused", masked_walk_forward)
+
+    # fused NUTS log-density: the joint value+grad custom_vmap surface used
+    # per leapfrog (inference/fused_logdensity.py) vs dense value_and_grad
+    def fused_nuts_logdensity():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.inference.fused_logdensity import (
+            gpr_logdensity_vg)
+
+        n, C = 128, 8
+        X, Y = data(n)
+        m0 = gpr.GPR.create(km.SquaredExponential.create(1.0, 5.0),
+                            noise_variance=0.1)
+        m0 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), m0)
+        ms = jax.tree.map(
+            lambda x: jnp.stack([x] * C)
+            * jnp.linspace(0.9, 1.1, C).reshape((C,) + (1,) * jnp.ndim(x)),
+            m0)
+        vg = gpr_logdensity_vg(X, Y)
+        dense = jax.value_and_grad(
+            lambda m: gpr.log_marginal_likelihood(m, X, Y))
+        vv, gv = jax.jit(jax.vmap(vg))(ms)
+        vr, gr = jax.jit(jax.vmap(dense))(ms)
+        vv, vr = np.asarray(vv), np.asarray(vr)
+        assert np.all(np.isfinite(vv)), "non-finite fused logp"
+        np.testing.assert_allclose(vv, vr, rtol=3e-3)
+        verr = float(np.abs((vv - vr) / vr).max())
+        return max(verr, grad_err(gv, gr, 2e-2))
+    check("fused NUTS logdensity vg", fused_nuts_logdensity)
 
     # 2-step SVGP train on-chip (guarded-cholesky path + Adam)
     def svgp_train():
+        import jax.numpy as jnp
         import optax
 
         from portfoliooptgp_tpu.models import svgp as svgp_mod
@@ -180,8 +272,15 @@ def main() -> int:
         assert np.isfinite(l1) and np.isfinite(l2), (l1, l2)
     check("svgp 2-step train", svgp_train)
 
+    return results, backend
+
+
+def main() -> int:
+    results, _ = run_smoke()
+    failures = [r["name"] for r in results if not r["ok"]]
+    total = len(results)
     print(f"\n{'OK' if not failures else 'FAILED'}: "
-          f"{7 - len(failures)}/7 checks passed")
+          f"{total - len(failures)}/{total} checks passed")
     return 1 if failures else 0
 
 
