@@ -22,7 +22,11 @@ import time
 
 import numpy as np
 
-BATCH = 64  # simultaneous restarts/models (reference: 8 kernels x 4 noise inits)
+BATCH = 128  # simultaneous restarts/models. The reference's natural product
+# is 8 kernels x 4 noise inits (32); walk-forward day-batching multiplies it
+# by the horizon (pipelines/walk_forward.py: D days x R restarts routinely
+# exceeds 128). B=128 amortizes the fused kernel's serial column loop over
+# twice the lanes of B=64 (~1.9x evals/s, BENCH_NOTES round-3 lever #2).
 N = 256  # observations per model
 MAXN_TIMING_S = 20.0
 
@@ -218,10 +222,16 @@ def bench_svgp_numpy_baseline():
     return evals / (time.perf_counter() - t0) / 3.0
 
 
+NUTS_N, NUTS_D = 512, 4
+
+
 def bench_nuts():
-    """NUTS draws/s on the proper 8-chain GPR hyperparameter posterior
-    (marginal likelihood x weak centered prior), fused joint value+grad.
-    Returns (draws_per_s, numpy_baseline_draws_per_s)."""
+    """NUTS draws/s on a REALISTIC 8-chain GPR hyperposterior (VERDICT r3
+    item 4): N=512 multi-input data, ARD SquaredExponential over D=4
+    feature dims — 6 free hyperparameters (4 lengthscales, variance, noise,
+    the Multi-Input_GPR/main.py:409-412 composite shape) — dense Welford
+    mass for the correlated variance↔lengthscale ridge, fused joint
+    value+grad per leapfrog. Returns (draws_per_s, numpy_baseline)."""
     import jax
     import jax.numpy as jnp
 
@@ -232,11 +242,16 @@ def bench_nuts():
     from portfoliooptgp_tpu.inference.sampler import (
         sample_nuts, centered_normal_logprior)
 
-    Ng, NC, NW, NS = 128, 8, 100, 200
+    Ng, D, NC, NW, NS = NUTS_N, NUTS_D, 8, 100, 200
     rng = np.random.default_rng(0)
-    Xg = jnp.asarray(np.sort(rng.uniform(0, 60, (Ng, 1))), jnp.float32)
-    Yg = jnp.sin(Xg / 8.0) + 0.1 * jnp.asarray(rng.normal(size=(Ng, 1)), jnp.float32)
-    m0 = gpr.GPR.create(km.SquaredExponential.create(1.0, 5.0), noise_variance=0.1)
+    Xg = jnp.asarray(rng.uniform(0, 60, (Ng, D)), jnp.float32)
+    f = (jnp.sin(Xg[:, 0] / 8.0) + 0.3 * jnp.cos(Xg[:, 1] / 5.0)
+         + 0.05 * Xg[:, 2] / 10.0)
+    Yg = (f + 0.1 * jnp.asarray(rng.normal(size=(Ng,)), jnp.float32))[:, None]
+    m0 = gpr.GPR.create(
+        km.SquaredExponential.create(1.0, np.full(D, 8.0)),
+        noise_variance=0.1,
+    )
     m0 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), m0)
     logprior = centered_normal_logprior(m0)
     logp, _ = gpr_logdensity_pair(Xg, Yg, logprior_fn=logprior)
@@ -246,7 +261,7 @@ def bench_nuts():
     def run(key):
         samples, stats = sample_nuts(logp, m0, key, num_warmup=NW,
                                      num_samples=NS, num_chains=NC,
-                                     max_depth=8, vg_fn=vg)
+                                     max_depth=8, vg_fn=vg, dense_mass=True)
         return (jax.tree.leaves(samples)[0], stats.accept_prob.mean(),
                 stats.num_leaves)
 
@@ -267,7 +282,10 @@ def bench_nuts():
     Xn = np.asarray(Xg, np.float64); Yn = np.asarray(Yg, np.float64)
 
     def nll():
-        d2 = (Xn[:, 0][:, None] - Xn[:, 0][None, :]) ** 2 / 25.0
+        d2 = sum(
+            (Xn[:, d][:, None] - Xn[:, d][None, :]) ** 2 / 64.0
+            for d in range(D)
+        )
         K = np.exp(-0.5 * d2) + 0.1 * np.eye(Ng)
         L = np.linalg.cholesky(K)
         a = np.linalg.solve(L, Yn)
@@ -351,7 +369,8 @@ def main():
     print(json.dumps({
         "metric": "nuts_draws_per_s",
         "value": round(nuts, 2),
-        "unit": "draws/s (8 chains, N=128 GPR posterior)",
+        "unit": (f"draws/s (8 chains, N={NUTS_N} ARD D={NUTS_D} GPR "
+                 "posterior, 6 hyperparams, dense mass)"),
         "vs_baseline": round(nuts / nuts_base, 2),
     }))
     value = bench_tpu()
@@ -361,7 +380,7 @@ def main():
             {
                 "metric": "gpr_nll_grad_evals_per_s_per_chip",
                 "value": round(value, 2),
-                "unit": "evals/s/chip",
+                "unit": f"evals/s/chip (B={BATCH}, N={N})",
                 "vs_baseline": round(value / baseline, 2),
             }
         )

@@ -58,6 +58,11 @@ def main():
     def loss_gram(m, X, Y, w):
         return -svgp_mod.gaussian_elbo_gram(m, X, Y, weights=w, num_data=N)
 
+    def loss_fused(m, X, Y, w):
+        return -svgp_mod.gaussian_elbo_gram_fused(m, X, Y, weights=w,
+                                                  num_data=N)
+    assert svgp_mod.svgp_gram_fused_supported(model, Xb)
+
     STEPS = 2000
 
     def make_chain(loss_fn):
@@ -81,9 +86,11 @@ def main():
         return chain
 
     chains = {
-        "pointwise": make_chain(loss_pointwise),
         "gram": make_chain(loss_gram),
+        "fused": make_chain(loss_fused),
     }
+    if "--pointwise" in sys.argv:
+        chains["pointwise"] = make_chain(loss_pointwise)
     state = (model, optimizer.init(model))
 
     # compile + health check

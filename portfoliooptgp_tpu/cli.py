@@ -68,9 +68,15 @@ def cmd_single_asset(args):
         data_root=cfg.data.data_root, maxiter=cfg.train.maxiter,
         noise_variance=cfg.train.noise_variance, horizon_days=args.horizon,
     )
+    import time as _time
+
     for ticker in args.tickers:
+        t0 = _time.perf_counter()
         res = sp.run_ticker(ticker)
         d = res.timeframes["d"]
+        if getattr(args, "profile", None):
+            log.log("ticker_train_time_s", _time.perf_counter() - t0,
+                    ticker=ticker)
         log.log("train_mse", d.mse, ticker=ticker)
         log.log("blend_alpha", res.alpha, ticker=ticker)
         log.log("blend_beta", res.beta, ticker=ticker)
@@ -224,8 +230,17 @@ def cmd_svgp(args):
         num_data=X.shape[0], mesh=mesh, optimizer=optax.adam(args.lr)
     )
     state = init_fn(model)
+    profiling = bool(getattr(args, "profile", None))
+    import time as _time
+
     for step in range(args.steps):
+        t0 = _time.perf_counter()
         state, loss = step_fn(state, Xs, Ys, w)
+        if profiling:
+            # per-step ELBO timing into the metrics JSONL (SURVEY.md §5);
+            # float() blocks on the device result so the time is real
+            log.log("elbo_step_time_s", _time.perf_counter() - t0, step=step,
+                    neg_elbo=float(loss))
         if step % 50 == 0:
             log.log("neg_elbo", float(loss), step=step)
             print(f"step {step}: neg-ELBO {float(loss):.4f}")

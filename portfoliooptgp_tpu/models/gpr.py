@@ -328,11 +328,13 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
     n = X.shape[0]
-    # dispatch and telemetry share one predicate: nll_tier() IS the router
+    # dispatch and telemetry share one predicate: nll_tier() IS the router;
+    # each tier runs under a jax.named_scope so XPlane traces identify it
     tier = nll_tier(stacked_model, X, Y, fast=fast)
     if tier == "xla":
         _record_tier("xla", n, jnp.shape(jax.tree.leaves(stacked_model)[0])[0])
-        return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
+        with jax.named_scope("nll/xla"):
+            return jax.vmap(lambda m: neg_log_marginal_likelihood(m, X, Y))(stacked_model)
 
     noise = jax.vmap(lambda m: m.likelihood.variance)(stacked_model)
     err = Y[None, :, 0] - jax.vmap(lambda m: m.mean_function(X))(stacked_model)[:, :, 0]
@@ -345,25 +347,30 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
         spec = fused_stationary_spec(stacked_model, X)
         if tier == "fused_stationary":
             _record_tier("fused_stationary", n, b)
-            return st_mod.batched_nll_stationary(
-                spec.d2s[0], err, spec.vs[0], spec.ls[0], noise, spec.families[0]
-            )
+            with jax.named_scope("nll/fused_stationary"):
+                return st_mod.batched_nll_stationary(
+                    spec.d2s[0], err, spec.vs[0], spec.ls[0], noise, spec.families[0]
+                )
         mask = jnp.ones((b, n), X.dtype)
         if tier == "fused_general_sum":
             _record_tier("fused_general_sum", n, b)
-            return st_mod.batched_nll_stationary_sum(
-                spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
-                noise, mask, dims=spec.dims
-            )
+            with jax.named_scope("nll/fused_general_sum"):
+                return st_mod.batched_nll_stationary_sum(
+                    spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als,
+                    noise, mask, dims=spec.dims
+                )
         _record_tier("fused_general_prod", n, b)
-        return st_mod.batched_nll_stationary_general(
-            spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als, noise,
-            mask, dims=spec.dims
-        )
+        with jax.named_scope("nll/fused_general_prod"):
+            return st_mod.batched_nll_stationary_general(
+                spec.families, spec.d2s, err, spec.vs, spec.ls, spec.als, noise,
+                mask, dims=spec.dims
+            )
 
     Kb = jax.vmap(lambda m: m.kernel.K(X))(stacked_model)  # (B, N, N)
     if tier == "pallas_dense":
         _record_tier("pallas_dense", n, b)
-        return nll_mod.batched_nll(Kb, err, noise)
+        with jax.named_scope("nll/pallas_dense"):
+            return nll_mod.batched_nll(Kb, err, noise)
     _record_tier("blocked", n, b)
-    return blocked_mod.batched_nll_blocked(Kb, err, noise)
+    with jax.named_scope("nll/blocked"):
+        return blocked_mod.batched_nll_blocked(Kb, err, noise)

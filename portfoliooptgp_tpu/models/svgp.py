@@ -188,6 +188,100 @@ def gaussian_elbo_gram(model: SVGP, X, Y, weights=None,
     return gram_finish(model, Luu, partials, num_data)
 
 
+def _gram_family(kernel) -> Optional[str]:
+    """Pallas φ family of a bare stationary kernel, or None if the fused
+    gram path cannot handle it (composites, active_dims, RQ/periodic)."""
+    from portfoliooptgp_tpu.kernels import stationary as st
+
+    if getattr(kernel, "active_dims", None) is not None:
+        return None
+    for cls, fam in ((st.SquaredExponential, "se"), (st.Matern12, "matern12"),
+                     (st.Matern32, "matern32"), (st.Matern52, "matern52")):
+        if type(kernel) is cls:
+            return fam
+    return None
+
+
+def svgp_gram_fused_supported(model: SVGP, X) -> bool:
+    """True when the single-program Pallas gram kernels can run this model:
+    bare stationary kernel, Gaussian likelihood, Zero/Constant mean, P=1,
+    float32, M % 8 == 0, B within the VMEM budget."""
+    from portfoliooptgp_tpu.kernels.means import ConstantMean, Zero
+    from portfoliooptgp_tpu.models.likelihoods import Gaussian
+    from portfoliooptgp_tpu.ops.pallas import svgp_gram
+
+    return (
+        _gram_family(model.kernel) is not None
+        and isinstance(model.likelihood, Gaussian)
+        and isinstance(model.mean_function, (Zero, ConstantMean))
+        and model.q_sqrt.shape[0] == 1
+        and model.Z.shape[0] % 8 == 0
+        and model.Z.shape[1] <= svgp_gram.LANES
+        and X.shape[0] <= svgp_gram.MAX_FUSED_B
+        and X.dtype == jnp.float32
+        and model.Z.dtype == jnp.float32
+    )
+
+
+def gram_partials_fused(model: SVGP, Luu, X, Y, weights=None, t=None):
+    """Fused-kernel version of `gram_partials` (same additive tuple), for
+    eligible models on TPU — one Pallas program for the whole batch phase.
+    `t` (= Luu⁻ᵀ q_mu) may be precomputed by the caller (the fast finish
+    derives it from the explicit inverse instead of a trisolve)."""
+    from portfoliooptgp_tpu.ops.pallas import svgp_gram
+
+    family = _gram_family(model.kernel)
+    if t is None:
+        t = linalg.solve_upper_t(Luu, model.q_mu)[:, 0]
+    y_eff = (Y - model.mean_function(X))[:, 0]
+    B = X.shape[0]
+    w = jnp.ones((B,), X.dtype) if weights is None else weights
+    v = model.kernel.variance
+    ell = model.kernel.lengthscales
+    s = 1.0 / (ell * ell)
+    G, sq_err = svgp_gram.gram_reduce(model.Z, X, y_eff, w, t, v, s, family)
+    W = jnp.sum(w)
+    kdiag_w = v * W  # stationary families: Kdiag ≡ variance
+    return G, sq_err, kdiag_w, W
+
+
+def gaussian_elbo_gram_fused(model: SVGP, X, Y, weights=None,
+                             num_data: Optional[int] = None,
+                             use_pallas: bool = False):
+    """The fast-path Gaussian ELBO: Gram accumulation with the M-phase on
+    `linalg.cholesky_inverse_pair` — ONE factorization whose explicit
+    inverse makes the whitened terms AND every backward term matmuls (no
+    serial trisolve anywhere in the VJP).
+
+    The batch phase defaults to the XLA formulation: interleaved v5e
+    measurements (benchmarks/prof_svgp_fused_parts.py, M=128 B=2048) put
+    XLA's fused build+syrk+reduce at 36.7 µs value+grad vs 46.3 µs for the
+    single-program Pallas kernel pair (ops/pallas/svgp_gram.py), D=1 and
+    D=4 alike — XLA's residual reuse (Kuf stored once, backward dots at
+    native precision) beats the kernel's recompute. `use_pallas=True`
+    selects the kernel pair (same values/gradients, parity-tested) for
+    shapes where recompute wins (B beyond the XLA fusion budget).
+
+    Same value/gradients as `gaussian_elbo_gram` in every configuration."""
+    if use_pallas and svgp_gram_fused_supported(model, X):
+        with jax.named_scope("svgp/gram_fused"):
+            Kuu = jittered_kuu(model.kernel, model.Z)
+            Luu, Winv = linalg.cholesky_inverse_pair(Kuu)
+            t = (Winv.T @ model.q_mu)[:, 0]
+            G, sq_err, kdiag_w, Wsum = gram_partials_fused(
+                model, Luu, X, Y, weights, t=t)
+            C = (Winv @ G) @ Winv.T
+            return _gram_tail(model, C, sq_err, kdiag_w, Wsum, num_data)
+    with jax.named_scope("svgp/gram_fast"):
+        Kuu = jittered_kuu(model.kernel, model.Z)
+        Luu, Winv = linalg.cholesky_inverse_pair(Kuu)
+        t = Winv.T @ model.q_mu  # (M, P)
+        G, sq_err, kdiag_w, Wsum = gram_partials(
+            model, Luu, X, Y, weights, t=t)
+        C = (Winv @ G) @ Winv.T
+        return _gram_tail(model, C, sq_err, kdiag_w, Wsum, num_data)
+
+
 def gram_chol(model: SVGP):
     """Luu for the Gram-accumulation path (one guarded factorization)."""
     Kuu = jittered_kuu(model.kernel, model.Z)
@@ -195,16 +289,19 @@ def gram_chol(model: SVGP):
     return Luu
 
 
-def gram_partials(model: SVGP, Luu, X, Y, weights=None):
+def gram_partials(model: SVGP, Luu, X, Y, weights=None, t=None):
     """Per-shard reductions of the Gaussian ELBO: (G, sq_err, kdiag_w, W).
     Every element is ADDITIVE across row shards, so the sharded path psums
-    this tuple and finishes replicated (parallel/elbo_sharded.py)."""
+    this tuple and finishes replicated (parallel/elbo_sharded.py). `t`
+    (= Luu⁻ᵀ q_mu, (M, P)) may be precomputed by the caller — the fast path
+    derives it from the explicit inverse instead of a trisolve."""
     Kuf = model.kernel.K(model.Z, X)  # (M, B)
     B = X.shape[0]
     w = jnp.ones((B,), Kuf.dtype) if weights is None else weights
     Kw = Kuf * w[None, :]
     G = Kw @ Kuf.T  # (M, M) weighted Gram
-    t = linalg.solve_upper_t(Luu, model.q_mu)  # (M, P) = Luu⁻ᵀ q_mu
+    if t is None:
+        t = linalg.solve_upper_t(Luu, model.q_mu)  # (M, P) = Luu⁻ᵀ q_mu
     mean = Kuf.T @ t + model.mean_function(X)  # (B, P)
     err = Y - mean
     sq_err = jnp.sum(err * err * w[:, None])
@@ -212,12 +309,9 @@ def gram_partials(model: SVGP, Luu, X, Y, weights=None):
     return G, sq_err, kdiag_w, jnp.sum(w)
 
 
-def gram_finish(model: SVGP, Luu, partials, num_data: Optional[int] = None):
-    """Finish the Gaussian ELBO from (psum'd) Gram partials: M×M ops only."""
-    G, sq_err, kdiag_w, W = partials
+def _gram_tail(model: SVGP, C, sq_err, kdiag_w, W, num_data):
+    """Shared ELBO tail given C = Luu⁻¹ G Luu⁻ᵀ and the scalar partials."""
     sigma2 = model.likelihood.variance
-    HG = linalg.solve_lower(Luu, G)  # Luu⁻¹ G
-    C = linalg.solve_lower(Luu, HG.T)  # Luu⁻¹ G Luu⁻ᵀ (symmetric)
     LS = _tril(model.q_sqrt)  # (P, M, M)
     CL = jnp.einsum("mn,pnk->pmk", C, LS)
     P = model.q_sqrt.shape[0]
@@ -228,3 +322,11 @@ def gram_finish(model: SVGP, Luu, partials, num_data: Optional[int] = None):
     )
     scale = 1.0 if num_data is None else num_data / jnp.maximum(W, 1.0)
     return ve_sum * scale - prior_kl(model)
+
+
+def gram_finish(model: SVGP, Luu, partials, num_data: Optional[int] = None):
+    """Finish the Gaussian ELBO from (psum'd) Gram partials: M×M ops only."""
+    G, sq_err, kdiag_w, W = partials
+    HG = linalg.solve_lower(Luu, G)  # Luu⁻¹ G
+    C = linalg.solve_lower(Luu, HG.T)  # Luu⁻¹ G Luu⁻ᵀ (symmetric)
+    return _gram_tail(model, C, sq_err, kdiag_w, W, num_data)

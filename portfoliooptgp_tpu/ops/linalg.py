@@ -99,6 +99,50 @@ def safe_cholesky(K, ladder=JITTER_LADDER):
     return L, jnp.any(oks)
 
 
+@jax.custom_vjp
+def cholesky_inverse_pair(K):
+    """(L, W) = (chol(K), L⁻¹) with an ALL-MATMUL backward.
+
+    On TPU both the Cholesky VJP and the triangular-solve VJP lower to
+    serial blocked substitution loops; with W in hand every backward term is
+    a dense 128³-class matmul instead:
+
+        from W = L⁻¹:   L̄ += tril(−Wᵀ W̄ Wᵀ)
+        chol VJP:       P = Φ(Lᵀ L̄)  (tril, diag halved)
+                        K̄ = ½ (Wᵀ P W + (Wᵀ P W)ᵀ)
+
+    Forward failure behaves like `cholesky_guarded`: NaN outputs, zero
+    gradients. This is the M-phase primitive of the fused SVGP step
+    (models/svgp.gram_finish_fast)."""
+    L = jnp.linalg.cholesky(K)
+    W = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(L.shape[-1], dtype=L.dtype), lower=True)
+    return L, W
+
+
+def _cip_fwd(K):
+    L, W = cholesky_inverse_pair(K)
+    return (L, W), (L, W)
+
+
+def _cip_bwd(res, cots):
+    L, W = res
+    Lbar, Wbar = cots
+    ok = jnp.all(jnp.isfinite(L))
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Ws = jnp.where(ok, W, eye)
+    Ls = jnp.where(ok, L, eye)
+    Lbar_tot = Lbar + jnp.tril(-(Ws.T @ Wbar) @ Ws.T)
+    P = jnp.tril(Ls.T @ Lbar_tot)
+    P = P - 0.5 * jnp.diag(jnp.diagonal(P))
+    Kbar = Ws.T @ (P @ Ws)
+    Kbar = 0.5 * (Kbar + Kbar.T)
+    return (jnp.where(ok, Kbar, 0.0),)
+
+
+cholesky_inverse_pair.defvjp(_cip_fwd, _cip_bwd)
+
+
 def solve_lower(L, B):
     """Solve L X = B with L lower-triangular."""
     return jax.scipy.linalg.solve_triangular(L, B, lower=True)

@@ -150,6 +150,7 @@ def _factor_panel(panel, interpret):
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
+        name="blocked_panel_chol",
     )(P)
     return jnp.transpose(Lp, (1, 2, 0)), logdet[:, 0]
 

@@ -245,6 +245,7 @@ def batched_nll_pallas(K, y, noise, interpret: bool = False):
         ],
         input_output_aliases={0: 0},  # factor A -> L in place
         interpret=interpret,
+        name="dense_factor_solve",
     )(A, y)
 
     quad = jnp.sum(a[:, :N] * a[:, :N], axis=-1)
@@ -299,6 +300,7 @@ def _factor_solve(K, y, noise, interpret=None):
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
+        name="dense_factor_solve_grid",
     )(A, y)
     quad = jnp.sum(a[:, :N] * a[:, :N], axis=-1)
     nll = (0.5 * quad + logdet[:, 0] + 0.5 * N * LOG2PI)[:B]
@@ -345,6 +347,7 @@ def _factor_solve_inv(K, y, noise, interpret=None):
         ],
         scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
         interpret=interpret,
+        name="dense_factor_inverse",
     )(A, y)
     quad = jnp.sum(a[:, :N] * a[:, :N], axis=-1)
     nll = (0.5 * quad + logdet[:, 0] + 0.5 * N * LOG2PI)[:B]
@@ -395,6 +398,7 @@ def triangular_inverse_pallas(L_layout, b_tile: int = 8, interpret=None):
         out_specs=pl.BlockSpec((Np, b_tile, Np), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, Bp, Np), L_layout.dtype),
         interpret=interpret,
+        name="triangular_inverse",
     )(L_layout)
 
 

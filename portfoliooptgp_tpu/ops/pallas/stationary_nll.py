@@ -253,6 +253,7 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
         scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
         compiler_params=params,
         interpret=interpret,
+        name="stationary_fused",
     )(d2p, errp, _scal_blocks(vp, Bp), _scal_blocks(sp, Bp), _scal_blocks(nzp, Bp))
     if with_inverse:
         W, a, logdet = res
@@ -403,6 +404,7 @@ def _call_general(families, combine, dims, with_inverse, d2s, err, vs, ss,
         scratch_shapes=[pltpu.VMEM((Np, b_tile, Np), dtype)],
         compiler_params=params,
         interpret=interpret,
+        name="stationary_general_fused",
     )(*operands)
     if with_inverse:
         W, a, logdet = res

@@ -56,7 +56,10 @@ def sharded_neg_elbo(model, X, Y, w, num_data: int, mesh: Mesh):
 
         def local(model, Xl, Yl, wl):
             Luu = svgp_mod.gram_chol(model)
-            partials = svgp_mod.gram_partials(model, Luu, Xl, Yl, wl)
+            if svgp_mod.svgp_gram_fused_supported(model, Xl):
+                partials = svgp_mod.gram_partials_fused(model, Luu, Xl, Yl, wl)
+            else:
+                partials = svgp_mod.gram_partials(model, Luu, Xl, Yl, wl)
             partials = jax.lax.psum(partials, DATA_AXIS)
             # scale matches the historical sharded path: num_data / Σw
             G, sq_err, kdiag_w, W = partials
@@ -117,9 +120,10 @@ def make_elbo_train_step(
             return sharded_neg_elbo(model, X, Y, w, num_data, mesh)
         if _is_gaussian(model):
             # Gram-accumulation ELBO: batch collapses into one MXU syrk,
-            # no M×B trisolve in forward or VJP (svgp.gaussian_elbo_gram)
-            return -svgp_mod.gaussian_elbo_gram(model, X, Y, weights=w,
-                                                num_data=num_data)
+            # no M×B trisolve in forward or VJP; eligible f32 models run
+            # the batch phase in one fused Pallas kernel pair
+            return -svgp_mod.gaussian_elbo_gram_fused(model, X, Y, weights=w,
+                                                      num_data=num_data)
         ve = weighted_expectation_sum(model, X, Y, w)
         scale = num_data / jnp.maximum(jnp.sum(w), 1.0)
         return -(ve * scale - svgp_mod.prior_kl(model))

@@ -86,6 +86,8 @@ def batched_walk_forward(
     train_likelihood_variance: bool = True,
     warm_start: bool = False,
     warm_maxiter: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = "restart",
     **fit_kw,
 ) -> WalkForwardResult:
     """Train all walk-forward days at once.
@@ -142,6 +144,21 @@ def batched_walk_forward(
     stacked = jax.tree.map(
         lambda x: jnp.tile(x, (D,) + (1,) * (x.ndim - 1)), stacked_r
     )
+
+    if mesh is not None:
+        # shard the D·R row batch over the mesh axis (day×restart rows are
+        # independent training problems); jit's sharding propagation carries
+        # the placement through the fused L-BFGS steps
+        n_shards = mesh.shape[mesh_axis]
+        if (D * R) % n_shards:
+            raise ValueError(
+                f"walk-forward batch D*R={D*R} must divide the "
+                f"'{mesh_axis}' axis size {n_shards}")
+        row_sharding = jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_axis))
+        stacked = jax.tree.map(
+            lambda x: jax.device_put(x, row_sharding), stacked)
+        masks_dr = jax.device_put(masks_dr, row_sharding)
 
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod

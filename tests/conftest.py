@@ -119,7 +119,6 @@ SLOW_TESTS = {
 FAST_PARITY_OVERRIDE = {
     "test_single_asset_hyperparameter_and_posterior_parity[AAPL-d]",
     "test_sharded_elbo_matches_single_device",
-    "test_batched_walk_forward_matches_sequential",
 }
 
 

@@ -346,3 +346,61 @@ def test_sgpr_bound_matches_golden(goldens):
     )
     lml = float(gpr_mod.log_marginal_likelihood(m, X[idx], Y[idx]))
     np.testing.assert_allclose(lml, sub["exact_lml"], rtol=1e-10)
+
+
+def test_single_asset_torch_cross_check(goldens):
+    """Third-framework independence check (VERDICT r3 item 6): refit the
+    AAPL-d SE config with torch CPU float64 — its own autodiff and LBFGS,
+    sharing no code with either the numpy/scipy golden generator or the JAX
+    package — and match the committed optimum (GPflow itself cannot be
+    installed here: zero network egress, see goldens _provenance)."""
+    import torch
+
+    from portfoliooptgp_tpu.data.handler import DataHandler
+
+    t0, t1 = SA_DATES["AAPL"]
+    dh = DataHandler(t0, t1, t1, t1, data_root=SA_ROOT["AAPL"])
+    X, Y, _, _, _ = dh.process_data(
+        "Stocks", "AAPL", "d", predict_Y="return", normalize_x=False
+    )
+    Xt = torch.tensor(np.asarray(X), dtype=torch.float64)
+    Yt = torch.tensor(np.asarray(Y), dtype=torch.float64)
+    n = Xt.shape[0]
+    d2 = (Xt[:, 0:1] - Xt[:, 0:1].T) ** 2
+
+    # gpflow positive bijector: softplus with 1e-6 shift; init v=ℓ=1
+    def positive(raw):
+        return torch.nn.functional.softplus(raw) + 1e-6
+
+    def positive_inv(x):
+        x = torch.tensor(float(x) - 1e-6, dtype=torch.float64)
+        return x + torch.log(-torch.expm1(-x))
+
+    raw = torch.stack([positive_inv(1.0), positive_inv(1.0)]).requires_grad_()
+
+    def nll_of(raw):
+        v, ell = positive(raw[0]), positive(raw[1])
+        K = v * torch.exp(-0.5 * d2 / (ell * ell)) + 1e-5 * torch.eye(
+            n, dtype=torch.float64)
+        L = torch.linalg.cholesky(K)
+        a = torch.cholesky_solve(Yt, L)
+        return (0.5 * (Yt * a).sum() + torch.log(torch.diag(L)).sum()
+                + 0.5 * n * np.log(2 * np.pi))
+
+    opt = torch.optim.LBFGS([raw], max_iter=200, line_search_fn="strong_wolfe")
+
+    def closure():
+        opt.zero_grad()
+        loss = nll_of(raw)
+        loss.backward()
+        return loss
+
+    opt.step(closure)
+    final = float(nll_of(raw))
+    gf = goldens["single_asset"]["AAPL"]["d"]["fits"]["se"]
+    # same optimum as the scipy golden chain, within optimizer tolerance
+    assert final <= gf["nll"] * (1 + 2e-3) + 2e-2
+    assert abs(final - gf["nll"]) <= max(2e-3 * abs(gf["nll"]), 2e-2)
+    v, ell = float(positive(raw[0])), float(positive(raw[1]))
+    np.testing.assert_allclose(v, gf["variance"], rtol=0.05)
+    np.testing.assert_allclose(ell, gf["lengthscale"], rtol=0.05)

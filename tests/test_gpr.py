@@ -161,3 +161,32 @@ def test_lml_under_jit(rng):
     np.testing.assert_allclose(
         float(f(model, X, Y)), float(gpr.neg_log_marginal_likelihood(model, X, Y)), rtol=1e-10
     )
+
+
+def test_cholesky_inverse_pair_vjp_matches_autodiff(rng):
+    """The all-matmul backward of (L, W) = (chol K, L⁻¹) equals autodiff
+    through jnp.linalg.cholesky + solve_triangular."""
+    A = rng.normal(size=(12, 12))
+    K = jnp.asarray(A @ A.T + 12 * np.eye(12))
+
+    def via_pair(K):
+        L, W = linalg.cholesky_inverse_pair(K)
+        # touch both outputs asymmetrically so both cotangents are exercised
+        return jnp.sum(L * jnp.arange(12.0)[None, :]) + jnp.sum(W ** 2)
+
+    def via_autodiff(K):
+        L = jnp.linalg.cholesky(K)
+        W = jax.scipy.linalg.solve_triangular(L, jnp.eye(12), lower=True)
+        return jnp.sum(L * jnp.arange(12.0)[None, :]) + jnp.sum(W ** 2)
+
+    np.testing.assert_allclose(float(via_pair(K)), float(via_autodiff(K)),
+                               rtol=1e-12)
+    g1 = jax.grad(via_pair)(K)
+    g2 = jax.grad(via_autodiff)(K)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-8, atol=1e-10)
+
+    # failed factorization: NaN outputs, zero gradients
+    Kbad = jnp.asarray(-np.eye(12))
+    gbad = jax.grad(via_pair)(Kbad)
+    assert bool(jnp.all(gbad == 0.0))

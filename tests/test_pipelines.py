@@ -181,6 +181,39 @@ def test_arima_fit_forecast():
     assert np.all(np.isfinite(fc))
 
 
+def test_arima_ma_terms_recover_coefficients():
+    """General (p,d,q) CSS fit: an ARMA(1,1)-in-differences series with
+    known coefficients is recovered, and the forecast recursion carries the
+    MA memory (VERDICT r3 item 10: the reference only ever fits (3,1,0),
+    statsmodels handles general orders)."""
+    rng = np.random.default_rng(1)
+    n = 3000
+    phi_true, theta_true = 0.55, 0.35
+    eps = 0.1 * rng.normal(size=n)
+    dz = np.zeros(n)
+    for t in range(1, n):
+        dz[t] = phi_true * dz[t - 1] + eps[t] + theta_true * eps[t - 1]
+    y = 50 + np.cumsum(dz)
+
+    res = arima.fit_arima(y, order=(1, 1, 1))
+    np.testing.assert_allclose(res.ar_coefs[0], phi_true, atol=0.08)
+    np.testing.assert_allclose(res.ma_coefs[0], theta_true, atol=0.08)
+
+    fc = arima.forecast(y, res, steps=5)
+    assert fc.shape == (5,) and np.all(np.isfinite(fc))
+    # the h=1 forecast must use the last innovation (pure-AR ignores it):
+    # Δŷ_{T+1} = φ Δy_T + θ ε_T, integrated from y_T
+    m = max(res.order[0], res.order[2])
+    eps_in = arima._css_residuals(np.diff(y), res.ar_coefs, res.ma_coefs)
+    want1 = y[-1] + res.ar_coefs[0] * np.diff(y)[-1] \
+        + res.ma_coefs[0] * eps_in[-1]
+    np.testing.assert_allclose(fc[0], want1, rtol=1e-10)
+
+    # ARMA(2,1,2) on the same series stays finite and fits at least as well
+    res2 = arima.fit_arima(y, order=(2, 1, 2))
+    assert np.isfinite(res2.sigma2) and res2.sigma2 <= res.sigma2 * 1.05
+
+
 def test_arima_pipeline(market):
     mi = make_mi(market)
     out = mi.run_arima()

@@ -37,6 +37,32 @@ def test_masked_predict_matches_subset_predict(rng):
     np.testing.assert_allclose(float(var), float(want_var[0, 0]), rtol=1e-6, atol=1e-10)
 
 
+def test_batched_walk_forward_matches_sequential_small(rng):
+    """Default-tier walk-forward parity gate (VERDICT r3 item 5): a 2-day,
+    1-restart case of the batched-vs-sequential check, sized to run in a few
+    seconds so plain `pytest` fails if pad-and-mask batching breaks. The
+    full 5-day 2-restart case below stays in the --slow tier."""
+    X, Y = make_series(rng, n=32)
+    n_train, n_days = 30, 2
+    res = wf.batched_walk_forward(
+        X, Y, n_train,
+        make_model=lambda v: gpr.GPR.create(km.SquaredExponential.create(), v),
+        restart_noise_inits=(1e-3,),
+        maxiter=150, gtol=1e-7,
+    )
+    for d in range(n_days):
+        i = n_train + d
+        t = trainer.train_likelihood(
+            X[:i], Y[:i], km.SquaredExponential.create(),
+            starting_variances=(1e-3,), maxiter=150,
+        )
+        m, v = gpr.predict_f(t.model, X[:i], Y[:i], X[i: i + 1])
+        np.testing.assert_allclose(float(res.f_mean[d]), float(m[0, 0]),
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(float(res.f_var[d]), float(v[0, 0]),
+                                   rtol=0.2, atol=1e-4)
+
+
 def test_batched_walk_forward_matches_sequential(rng):
     """The batched pad-and-mask walk-forward must reproduce the sequential
     retrain-per-day loop (train_likelihood semantics) within optimizer
