@@ -278,7 +278,8 @@ def _record_tier(tier: str, n: int, b: int) -> None:
 def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
     """The dispatch tier `batched_neg_log_marginal_likelihood` would take:
     'fused_stationary' | 'fused_general_prod' | 'fused_general_sum' |
-    'pallas_dense' | 'blocked' | 'xla'. Pure metadata — nothing is computed."""
+    'pallas_dense' | 'blocked' | 'blocked_hinv' | 'xla'. Pure metadata —
+    nothing is computed."""
     import jax
 
     from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
@@ -293,7 +294,9 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         and X.dtype == jnp.float32
         and params_f32
         and Y.shape[1] == 1
-        and (nll_mod.pallas_nll_supported(n) or blocked_mod.blocked_nll_preferred(n))
+        and (nll_mod.pallas_nll_supported(n)
+             or blocked_mod.blocked_nll_preferred(n)
+             or blocked_mod.hinv_nll_preferred(n))
     ):
         return "xla"
     spec = fused_stationary_spec(stacked_model, X)
@@ -304,7 +307,9 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         return f"fused_general_{spec.combine}"
     if nll_mod.pallas_nll_supported(n):
         return "pallas_dense"
-    return "blocked"
+    if blocked_mod.blocked_nll_preferred(n):
+        return "blocked"
+    return "blocked_hinv"
 
 
 def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
@@ -318,6 +323,8 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     - 256 < N ≤ 1024 → blocked Pallas-panel + MXU-syrk Cholesky
       (ops/pallas/blocked_nll.py; wins vs XLA only up to this N — see
       blocked_nll.BLOCKED_PREFERRED_N);
+    - 1024 < N ≤ 4096 → XLA Cholesky + hierarchical MXU triangular inverse
+      with an all-matmul backward (blocked_nll.batched_nll_hinv);
     - otherwise the vmapped XLA path.
     All tiers share the same custom-VJP contract, return (B,) losses, and
     record their dispatch decision in `DISPATCH_EVENTS` at trace time."""
@@ -371,6 +378,10 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
         _record_tier("pallas_dense", n, b)
         with jax.named_scope("nll/pallas_dense"):
             return nll_mod.batched_nll(Kb, err, noise)
-    _record_tier("blocked", n, b)
-    with jax.named_scope("nll/blocked"):
-        return blocked_mod.batched_nll_blocked(Kb, err, noise)
+    if tier == "blocked":
+        _record_tier("blocked", n, b)
+        with jax.named_scope("nll/blocked"):
+            return blocked_mod.batched_nll_blocked(Kb, err, noise)
+    _record_tier("blocked_hinv", n, b)
+    with jax.named_scope("nll/blocked_hinv"):
+        return blocked_mod.batched_nll_hinv(Kb, err, noise)

@@ -348,3 +348,77 @@ def _bwd(res, g):
 
 
 batched_nll_blocked.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Large-N tier (1024 < padded N ≤ HINV_MAX_N): XLA cholesky forward +
+# hierarchical MXU triangular inverse, all-matmul backward.
+#
+# Measured on v5e (benchmarks/prof_large_n*.py, B=8, N=2048, f32): BOTH
+# XLA's cholesky (7.8 ms) and its triangular_solve-vs-identity (8.5 ms)
+# are per-column latency bound (~6 TFLOP/s effective vs the 96-112 TFLOP/s
+# matmul ceiling), and the Pallas 128-column panel factor is no better at
+# this scale (10.5 ms). The one primitive that escapes the serial-column
+# regime is the hierarchical block inverse (Pallas 128×128 diagonal-block
+# inverses + log2(P) pairwise MXU combines): 6.1 ms vs the 8.5 ms trisolve.
+# So this tier keeps XLA's factorization (its per-column loop is the best
+# available) and removes every OTHER serial loop from the value+grad:
+#   forward:  L = chol(Ks) (XLA), W = L⁻¹ (hierarchical), a = W y (matmul)
+#   backward: Ks⁻¹ = WᵀW (syrk), α = Wᵀa (matvec), GPML eq. 5.9 — matmuls
+# (the classic blocked tier's backward pays the trisolve-vs-I instead).
+# ---------------------------------------------------------------------------
+
+#: largest padded N for the hierarchical-inverse tier. The block inverse
+#: pads the panel count to a power of two, so N beyond 4096 would round to
+#: 8192 panels of waste; above this the XLA tier (or CG/SLQ) takes over.
+HINV_MAX_N = 4096
+
+
+def hinv_nll_preferred(n: int) -> bool:
+    np_ = n + ((-n) % 128)
+    return BLOCKED_PREFERRED_N < np_ <= HINV_MAX_N
+
+
+def _hinv_factor(K, y, noise, interpret=None):
+    B, N, _ = K.shape
+    Ks, yp = _prep(K, y, noise)
+    L = jnp.linalg.cholesky(Ks)
+    W = blocked_triangular_inverse(L, interpret=interpret)
+    a = jnp.einsum("bqr,br->bq", W, yp,
+                   preferred_element_type=W.dtype, precision="highest")
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    quad = jnp.sum(a[:, :N] * a[:, :N], axis=-1)
+    nll = (0.5 * quad + logdet + 0.5 * N * LOG2PI)[:B]
+    return nll, W, a
+
+
+@jax.custom_vjp
+def batched_nll_hinv(K, y, noise):
+    """Differentiable batched NLL for the large-N window (see module note).
+    Same contract as ops.pallas.nll.batched_nll: K (B, N, N), y (B, N),
+    noise (B,) → (B,) negative log marginal likelihoods."""
+    nll, _, _ = _hinv_factor(K, y, noise)
+    return nll
+
+
+def _hinv_fwd(K, y, noise):
+    nll, W, a = _hinv_factor(K, y, noise)
+    return nll, (W, a, K.shape[1], K.shape[0])
+
+
+def _hinv_bwd(res, g):
+    W, a, N, B = res
+    Wb = W[:B, :N, :N]
+    Kinv = jnp.einsum("brq,brp->bqp", Wb, Wb, preferred_element_type=W.dtype,
+                      precision="highest")
+    alpha = jnp.einsum("brq,br->bq", Wb, a[:B, :N],
+                       preferred_element_type=W.dtype, precision="highest")
+    dK = 0.5 * (Kinv - alpha[:, :, None] * alpha[:, None, :])
+    dnoise = 0.5 * (
+        jnp.trace(Kinv, axis1=-2, axis2=-1) - jnp.sum(alpha * alpha, axis=-1)
+    )
+    gb = g[:, None, None]
+    return gb * dK, g[:, None] * alpha, g * dnoise
+
+
+batched_nll_hinv.defvjp(_hinv_fwd, _hinv_bwd)

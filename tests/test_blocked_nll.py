@@ -107,17 +107,57 @@ def test_blocked_triangular_inverse_matches_dense():
         np.testing.assert_allclose(np.asarray(W), Wref, atol=5e-4)
 
 
-def test_dispatch_prefers_xla_above_blocked_cutoff():
+def test_dispatch_tiers_above_blocked_cutoff():
+    """256 < N <= 1024 -> blocked Pallas panels; 1024 < N <= 4096 -> the
+    hierarchical-inverse tier; beyond -> XLA."""
     from portfoliooptgp_tpu import kernels as km
     from portfoliooptgp_tpu.models import gpr
     from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
-    from portfoliooptgp_tpu.train import lbfgs
 
     assert bn.blocked_nll_preferred(1024)
     assert not bn.blocked_nll_preferred(1025)
+    assert bn.hinv_nll_preferred(1500) and bn.hinv_nll_preferred(4096)
+    assert not bn.hinv_nll_preferred(4097)
     m = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=0.1)
     stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32)[None],
                            m)
     X = jnp.zeros((1500, 1), jnp.float32)
     Y = jnp.zeros((1500, 1), jnp.float32)
-    assert gpr.nll_tier(stacked, X, Y) == "xla"
+    assert gpr.nll_tier(stacked, X, Y) == "blocked_hinv"
+    X5 = jnp.zeros((5000, 1), jnp.float32)
+    Y5 = jnp.zeros((5000, 1), jnp.float32)
+    assert gpr.nll_tier(stacked, X5, Y5) == "xla"
+
+
+def test_hinv_nll_matches_dense(rng):
+    """The large-N hierarchical-inverse tier (XLA chol + blocked MXU
+    triangular inverse, all-matmul backward) equals the dense NLL and its
+    autodiff gradients, including the ragged-N padding path."""
+    B, N = 3, 300
+    X = np.sort(rng.uniform(0, 30, (N,)))
+    d2 = (X[:, None] - X[None, :]) ** 2
+    K = np.stack([v * np.exp(-0.5 * d2 / (2.0 + v)) for v in (0.5, 1.0, 2.0)])
+    K = jnp.asarray(K, jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    noise = jnp.asarray([0.1, 0.05, 0.2], jnp.float32)
+
+    def dense(K, y, noise):
+        Ks = K + noise[:, None, None] * jnp.eye(N, dtype=K.dtype)
+        L = jnp.linalg.cholesky(Ks)
+        a = jax.scipy.linalg.solve_triangular(
+            L, y[:, :, None], lower=True)[:, :, 0]
+        return (0.5 * jnp.sum(a * a, -1)
+                + jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+                + 0.5 * N * jnp.log(2 * jnp.pi))
+
+    got = np.asarray(bn.batched_nll_hinv(K, y, noise))
+    want = np.asarray(dense(K, y, noise))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    gf = jax.grad(lambda *a: jnp.sum(bn.batched_nll_hinv(*a)),
+                  argnums=(0, 1, 2))(K, y, noise)
+    gr = jax.grad(lambda *a: jnp.sum(dense(*a)), argnums=(0, 1, 2))(K, y, noise)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)

@@ -147,6 +147,14 @@ def run_smoke():
                         noise_variance=0.1) for v in vs[:8]],
         512, expect="blocked", gtol=3e-2)
 
+    # tier 6: blocked_hinv (1024 < N <= 4096): XLA chol + hierarchical
+    # MXU triangular inverse, all-matmul backward
+    tier_check(
+        "blocked_hinv N=1536",
+        [gpr.GPR.create(km.SquaredExponential.create(float(v), 6.0),
+                        noise_variance=0.1) for v in vs[:4]],
+        1536, expect="blocked_hinv", gtol=3e-2)
+
     # direct blocked path at its N=4096 ceiling (VMEM/Mosaic stress):
     # forward finiteness + logdet parity vs XLA cholesky
     def blocked_4096():
