@@ -107,15 +107,22 @@ def main():
             return val * 1e-3 + 1e-20 * jnp.sum(g[..., -1, :])
         return body
 
-    timed(f"xla nll value+grad N={n}", chain(vg_of(xla_nll)))
-    timed(f"blocked nll value+grad N={n}",
-          chain(vg_of(lambda K, y, nz: bn.batched_nll_blocked(K, y, nz))))
-    timed(f"hinv nll value+grad N={n}",
-          chain(vg_of(lambda K, y, nz: bn.batched_nll_hinv(K, y, nz))))
-    # value-only comparison too (prediction-time path)
-    timed(f"hinv nll fwd N={n}",
-          chain(lambda c: jnp.sum(bn.batched_nll_hinv(
-              Ks + c * 1e-9, y, noise)) * 1e-3))
+    variants = {
+        "xla": lambda: timed(f"xla nll value+grad N={n}", chain(vg_of(xla_nll))),
+        "blocked": lambda: timed(
+            f"blocked nll value+grad N={n}",
+            chain(vg_of(lambda K, y, nz: bn.batched_nll_blocked(K, y, nz)))),
+        "hinv": lambda: timed(
+            f"hinv nll value+grad N={n}",
+            chain(vg_of(lambda K, y, nz: bn.batched_nll_hinv(K, y, nz)))),
+        "hinvfwd": lambda: timed(
+            f"hinv nll fwd N={n}",
+            chain(lambda c: jnp.sum(bn.batched_nll_hinv(
+                Ks + c * 1e-9, y, noise)) * 1e-3)),
+    }
+    chosen = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--variant=")]
+    for name in (chosen or list(variants)):
+        variants[name]()
 
 
 if __name__ == "__main__":

@@ -160,6 +160,7 @@ def batched_walk_forward(
             lambda x: jax.device_put(x, row_sharding), stacked)
         masks_dr = jax.device_put(masks_dr, row_sharding)
 
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
@@ -202,6 +203,24 @@ def batched_walk_forward(
                 Kb, errb[:, :, 0], jnp.zeros((Kb.shape[0],), dtype)
             )
             # the kernel's 2π constant uses the full N; restate it for n_eff
+            return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)
+
+    elif dtype == jnp.float32 and (
+        blocked_mod.blocked_nll_preferred(n_full)
+        or blocked_mod.hinv_nll_preferred(n_full)
+    ):
+        # large-N masked rows: the masked system already carries its own
+        # diagonal (mask·σ² + (1−mask)), so the blocked tiers run at zero
+        # added noise; same tier windows as the gpr dispatch
+        tier_fn = (blocked_mod.batched_nll_blocked
+                   if blocked_mod.blocked_nll_preferred(n_full)
+                   else blocked_mod.batched_nll_hinv)
+
+        def batched_loss(ms):
+            Kb, errb = jax.vmap(
+                lambda m, msk: masked_system(m, X_full, Y_full, msk)
+            )(ms, masks_dr)
+            nll = tier_fn(Kb, errb[:, :, 0], jnp.zeros((Kb.shape[0],), dtype))
             return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)
 
     else:

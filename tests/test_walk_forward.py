@@ -135,3 +135,32 @@ def test_walk_forward_fused_f32_path(rng):
     # predictions should roughly track the underlying sine
     truth = np.sin(np.asarray(X[32:40, 0]))
     assert np.mean((np.asarray(res.f_mean) - truth) ** 2) < 0.1
+
+
+def test_masked_system_through_blocked_tiers(rng):
+    """The large-N walk-forward branch feeds masked systems (own diagonal,
+    zero added noise) through the blocked NLL tiers; values must equal the
+    dense masked_nll."""
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
+
+    N = 288  # > pallas dense ceiling -> blocked window
+    X = jnp.asarray(np.sort(rng.uniform(0, 60, (N, 1))), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+    ms = [gpr.GPR.create(km.SquaredExponential.create(v, 4.0), 0.1)
+          for v in (0.6, 1.4)]
+    import jax
+
+    from portfoliooptgp_tpu.train import lbfgs as lb
+
+    stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                           lb.stack_pytrees(ms))
+    masks = jnp.asarray(np.arange(N)[None, :] < np.array([200, 288])[:, None],
+                        jnp.float32)
+    Kb, errb = jax.vmap(
+        lambda m, msk: wf.masked_system(m, X, Y, msk))(stacked, masks)
+    nll = bn.batched_nll_blocked(Kb, errb[:, :, 0],
+                                 jnp.zeros((2,), jnp.float32))
+    n_eff = jnp.sum(masks, axis=1)
+    nll = nll - 0.5 * (N - n_eff) * jnp.log(2.0 * jnp.pi)
+    want = jax.vmap(lambda m, msk: wf.masked_nll(m, X, Y, msk))(stacked, masks)
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=3e-4)
