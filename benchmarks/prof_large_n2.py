@@ -41,10 +41,13 @@ def main():
     y = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
     noise = jnp.full((B,), 1e-2, jnp.float32)
 
-    def timed(name, fn_of_scalar):
+    def timed(name, fn_of_scalar, *args):
+        # big operands must be explicit jit ARGUMENTS: closed-over device
+        # arrays are serialized into the remote-compile request body and a
+        # (8, 4096, 4096) constant trips the tunnel's HTTP 413 length limit
         f = jax.jit(fn_of_scalar)
         t0 = time.perf_counter()
-        v = float(np.asarray(f(jnp.asarray(1.0, jnp.float32))))
+        v = float(np.asarray(f(jnp.asarray(1.0, jnp.float32), *args)))
         print(f"  [{name}: compile+first {time.perf_counter()-t0:.0f}s]",
               flush=True)
         assert np.isfinite(v), (name, v)
@@ -52,14 +55,14 @@ def main():
         for i in range(3):
             t0 = time.perf_counter()
             _ = float(np.asarray(f(jnp.asarray(1.0 + 1e-7 * (i + 1),
-                                               jnp.float32))))
+                                               jnp.float32), *args)))
             ts.append(time.perf_counter() - t0)
         print(f"{name:40s} {min(ts)/iters*1e3:9.3f} ms/iter", flush=True)
 
     def chain(body):
-        def run(s):
+        def run(s, *ops):
             def step(carry, _):
-                return body(carry * s), None
+                return body(carry * s, *ops), None
             out, _ = jax.lax.scan(step, jnp.asarray(1.0, jnp.float32),
                                   None, length=iters)
             return out
@@ -101,24 +104,26 @@ def main():
                 + jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1))
 
     def vg_of(f):
-        def body(c):
+        def body(c, Kop):
             val, g = jax.value_and_grad(
-                lambda K: jnp.sum(f(K, y, noise)))(Ks + c * 1e-9)
+                lambda K: jnp.sum(f(K, y, noise)))(Kop + c * 1e-9)
             return val * 1e-3 + 1e-20 * jnp.sum(g[..., -1, :])
         return body
 
     variants = {
-        "xla": lambda: timed(f"xla nll value+grad N={n}", chain(vg_of(xla_nll))),
+        "xla": lambda: timed(f"xla nll value+grad N={n}",
+                             chain(vg_of(xla_nll)), Ks),
         "blocked": lambda: timed(
             f"blocked nll value+grad N={n}",
-            chain(vg_of(lambda K, y, nz: bn.batched_nll_blocked(K, y, nz)))),
+            chain(vg_of(lambda K, y, nz: bn.batched_nll_blocked(K, y, nz))),
+            Ks),
         "hinv": lambda: timed(
             f"hinv nll value+grad N={n}",
-            chain(vg_of(lambda K, y, nz: bn.batched_nll_hinv(K, y, nz)))),
+            chain(vg_of(lambda K, y, nz: bn.batched_nll_hinv(K, y, nz))), Ks),
         "hinvfwd": lambda: timed(
             f"hinv nll fwd N={n}",
-            chain(lambda c: jnp.sum(bn.batched_nll_hinv(
-                Ks + c * 1e-9, y, noise)) * 1e-3)),
+            chain(lambda c, Kop: jnp.sum(bn.batched_nll_hinv(
+                Kop + c * 1e-9, y, noise)) * 1e-3), Ks),
     }
     chosen = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--variant=")]
     for name in (chosen or list(variants)):
