@@ -115,7 +115,7 @@ def test_xplane_trace_contains_tier_scopes(tmp_path, rng):
     hlo_sv = jax.jit(
         lambda m: svgp.gaussian_elbo_gram_fused(m, X, Y, num_data=64)
     ).lower(sv).as_text(debug_info=True)
-    assert "svgp/gram_fused" in hlo_sv
+    assert "svgp/gram_fast" in hlo_sv or "svgp/gram_fused" in hlo_sv
 
     # and a --profile capture produces XPlane artifacts
     logdir = str(tmp_path / "xplane")
