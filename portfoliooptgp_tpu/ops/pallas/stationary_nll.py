@@ -46,10 +46,22 @@ from portfoliooptgp_tpu.ops.pallas.nll import (
     _pad,
 )
 
-B_TILE = 16  # batch sublanes per grid program: the fused kernels stream no
-# (B, N, N) input (only the shared d2 + scalars), so W-out staging (2x4 MiB)
-# + L scratch (4 MiB) + d2 fits VMEM at twice nll.py's dense-path tile,
-# halving program count. Hardware-swept 2026-08-20: 16 beats 8 by ~10%.
+B_TILE = 16  # legacy fixed tile; kept as the floor of _pick_b_tile's menu.
+# Grid programs run SEQUENTIALLY, so the kernel's serial column loop repeats
+# once per program — fewer, fatter programs amortize it across more batch
+# sublanes. Hardware sweep at B=128, N=256 (2026-08-21, value+grad chain):
+# b_tile 16 → 45,990 evals/s, 32 → 50,492, 64 → 51,848. _pick_b_tile takes
+# the largest tile whose batch padding stays ≤25%; VMEM at b_tile=64 and
+# N=256 is ~65 MiB, inside the raised cap below.
+
+
+def _pick_b_tile(B: int) -> int:
+    """Largest batch tile in (64, 32, 16, 8) with ≤25% padding waste."""
+    for t in (64, 32, 16):
+        padded = -(-B // t) * t
+        if 4 * padded <= 5 * B:
+            return t
+    return 8
 
 # The compiler's default scoped-vmem budget is 16 MiB; v5e VMEM is 128 MiB.
 # The with-inverse kernel at B_TILE=16 needs ~16.2 MiB, so raise the cap.
@@ -202,9 +214,10 @@ def _prep(d2, err, v, s, nz):
         pad = Np - N
         d2 = jnp.pad(d2, ((0, pad), (0, pad)))
         err = _pad(err, 1, 128)
-    Bp = B + ((-B) % B_TILE)
+    b_tile = _pick_b_tile(B)
+    Bp = B + ((-B) % b_tile)
     if Bp != B:
-        err = _pad(err, 0, B_TILE)
+        err = _pad(err, 0, b_tile)
         one = jnp.ones((Bp - B,), dtype)
         v = jnp.concatenate([v, one])
         s = jnp.concatenate([s, one])
@@ -221,7 +234,7 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
     B, N = err.shape
     dtype = err.dtype
     d2p, errp, vp, sp, nzp, Np, Bp = _prep(d2, err, v, s, nz)
-    b_tile = B_TILE
+    b_tile = _pick_b_tile(B)
     grid = (Bp // b_tile,)
     scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -351,10 +364,11 @@ def _prep_general(d2s, err, vs, ls, als, noise, mask):
         d2s = tuple(jnp.pad(d, ((0, pad), (0, pad))) for d in d2s)
         err = _pad(err, 1, 128)
         mask = _pad(mask, 1, 128)  # zero mask on padded rows → identity rows
-    Bp = B + ((-B) % B_TILE)
+    b_tile = _pick_b_tile(B)
+    Bp = B + ((-B) % b_tile)
     if Bp != B:
-        err = _pad(err, 0, B_TILE)
-        mask = _pad(mask, 0, B_TILE)
+        err = _pad(err, 0, b_tile)
+        mask = _pad(mask, 0, b_tile)
         one = jnp.ones((Bp - B,), dtype)
         vs = tuple(jnp.concatenate([v, one]) for v in vs)
         ls = tuple(jnp.concatenate([l, one]) for l in ls)
@@ -371,7 +385,7 @@ def _call_general(families, combine, dims, with_inverse, d2s, err, vs, ss,
         d2s, err, vs, ss, als, noise, mask)
     J = len(families)
     JD = sum(dims)
-    b_tile = B_TILE
+    b_tile = _pick_b_tile(B)
     grid = (Bp // b_tile,)
     dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
