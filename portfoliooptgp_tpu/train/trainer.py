@@ -47,6 +47,19 @@ def _fast_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _match_dtype(tree, dtype):
+    """Cast every floating leaf to the data dtype. GPR.create builds new
+    leaves (e.g. the likelihood's raw variance) at the DEFAULT dtype, so an
+    f32 kernel under x64 mode would otherwise yield a mixed-precision
+    pytree — which trips optax.lbfgs's internal lax.cond (branch output
+    types must match) and silently promotes the loss."""
+    return jax.tree.map(
+        lambda a: jnp.asarray(a, dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        tree,
+    )
+
+
 def train_model(model: GPR, X, Y, *, maxiter: int = 1000,
                 train_likelihood_variance: bool = False, fast=None, **fit_kw):
     """MLE-train one model; likelihood frozen unless requested (parity with
@@ -58,6 +71,7 @@ def train_model(model: GPR, X, Y, *, maxiter: int = 1000,
     dispatch telemetry — as the batched trainers."""
     if fast is None:
         fast = _fast_default()
+    model = _match_dtype(model, X.dtype)
     frozen = None if train_likelihood_variance else lbfgs.freeze_leaves(model, likelihood=True)
     if fast:
         def loss(m):
@@ -88,7 +102,7 @@ def train_likelihood(
         GPR.create(kernel, noise_variance=v, mean_function=mean_function)
         for v in starting_variances
     ]
-    stacked = lbfgs.stack_pytrees(models)
+    stacked = _match_dtype(lbfgs.stack_pytrees(models), X.dtype)
     fast = fit_kw.pop("fast", None)
     if fast is None:
         fast = _fast_default()
