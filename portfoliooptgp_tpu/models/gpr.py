@@ -288,6 +288,7 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
 
     n = X.shape[0]
     leaves = jax.tree.leaves(stacked_model)
+    b = int(jnp.shape(leaves[0])[0])
     params_f32 = all(jnp.asarray(l).dtype == jnp.float32 for l in leaves)
     if not (
         fast
@@ -296,7 +297,7 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         and Y.shape[1] == 1
         and (nll_mod.pallas_nll_supported(n)
              or blocked_mod.blocked_nll_preferred(n)
-             or blocked_mod.hinv_nll_preferred(n))
+             or blocked_mod.hinv_nll_preferred(n, b))
     ):
         return "xla"
     spec = fused_stationary_spec(stacked_model, X)

@@ -368,22 +368,32 @@ batched_nll_blocked.defvjp(_fwd, _bwd)
 # (the classic blocked tier's backward pays the trisolve-vs-I instead).
 # ---------------------------------------------------------------------------
 
-#: largest padded N for the hierarchical-inverse tier. The block inverse
-#: pads the panel count to a power of two, so N beyond 4096 would round to
-#: 8192 panels of waste; above this the XLA tier (or CG/SLQ) takes over.
+#: largest padded N for the hierarchical-inverse tier — its measured WIN
+#: window. The uneven-split inverse (triangular_inverse_uneven) removes the
+#: power-of-two padding waste inside the window (e.g. N=3000: 24 panels run
+#: as 16+8 instead of padding to 32), but at the far end the tier loses:
+#: at the reference's full-AAPL N=10,963 (B=1) it measured 639 ms value+grad
+#: vs 351 ms for plain XLA — the O(N²) level-combine relayouts of the
+#: hierarchical inverse dominate once N² buffers reach ~0.5 GB. Dispatch
+#: hands N > 4096 back to XLA (or the CG/SLQ matrix-free tier).
 HINV_MAX_N = 4096
 
+#: B·Np² element budget: the value+grad keeps ~5 live (B, N, N) f32 buffers
+#: (Ks, L, W, Ks⁻¹, dK) → 6e8 elements ≈ 12 GB of the 16 GB v5e HBM.
+HINV_MAX_ELEMS = 600_000_000
 
-def hinv_nll_preferred(n: int) -> bool:
+
+def hinv_nll_preferred(n: int, b: int = 1) -> bool:
     np_ = n + ((-n) % 128)
-    return BLOCKED_PREFERRED_N < np_ <= HINV_MAX_N
+    return (BLOCKED_PREFERRED_N < np_ <= HINV_MAX_N
+            and b * np_ * np_ <= HINV_MAX_ELEMS)
 
 
 def _hinv_factor(K, y, noise, interpret=None):
     B, N, _ = K.shape
     Ks, yp = _prep(K, y, noise)
     L = jnp.linalg.cholesky(Ks)
-    W = blocked_triangular_inverse(L, interpret=interpret)
+    W = triangular_inverse_uneven(L, interpret=interpret)
     a = jnp.einsum("bqr,br->bq", W, yp,
                    preferred_element_type=W.dtype, precision="highest")
     logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
@@ -422,3 +432,38 @@ def _hinv_bwd(res, g):
 
 
 batched_nll_hinv.defvjp(_hinv_fwd, _hinv_bwd)
+
+
+def triangular_inverse_uneven(L, interpret=None):
+    """W = L⁻¹ for (B, Np, Np) lower factors with Np ANY multiple of PW.
+
+    `blocked_triangular_inverse` pads the panel count to a power of two —
+    at the reference's full-AAPL N=10,963 (86 panels) that rounds to 128
+    panels (N=16,384), a 2.2× FLOP/memory blowup. This wrapper instead
+    splits off the largest power-of-two panel prefix and recurses on the
+    remainder (86 → 64+22 → 64+(16+6) → …), combining with the same
+    block-triangular identity:
+
+        [[A, 0], [C, D]]⁻¹ = [[A⁻¹, 0], [−D⁻¹ C A⁻¹, D⁻¹]]
+
+    Two batched MXU einsums per level; only true-size work is done."""
+    B, Np, _ = L.shape
+    P = Np // PW
+    if P & (P - 1) == 0:  # power of two: the padded path is exact-size
+        return blocked_triangular_inverse(L, interpret=interpret)
+    P1 = 1 << (P.bit_length() - 1)  # largest power of two < P
+    n1 = P1 * PW
+    A = L[:, :n1, :n1]
+    C = L[:, n1:, :n1]
+    D = L[:, n1:, n1:]
+    WA = blocked_triangular_inverse(A, interpret=interpret)
+    WD = triangular_inverse_uneven(D, interpret=interpret)
+    hi = jax.lax.Precision.HIGHEST
+    T = jnp.einsum("brk,bkq->brq", C, WA,
+                   preferred_element_type=L.dtype, precision=hi)
+    W21 = -jnp.einsum("brs,bsq->brq", WD, T,
+                      preferred_element_type=L.dtype, precision=hi)
+    top = jnp.concatenate(
+        [WA, jnp.zeros((B, n1, Np - n1), L.dtype)], axis=2)
+    bot = jnp.concatenate([W21, WD], axis=2)
+    return jnp.concatenate([top, bot], axis=1)

@@ -207,14 +207,14 @@ def batched_walk_forward(
 
     elif dtype == jnp.float32 and (
         blocked_mod.blocked_nll_preferred(n_full)
-        or blocked_mod.hinv_nll_preferred(n_full)
+        or blocked_mod.hinv_nll_preferred(n_full, D * R)
     ):
         # large-N masked rows: the masked system already carries its own
         # diagonal (mask·σ² + (1−mask)), so the blocked tiers run at zero
         # added noise; same tier windows as the gpr dispatch
         tier_fn = (blocked_mod.batched_nll_blocked
                    if blocked_mod.blocked_nll_preferred(n_full)
-                   else blocked_mod.batched_nll_hinv)
+                   else blocked_mod.batched_nll_hinv)  # gated on D·R above
 
         def batched_loss(ms):
             Kb, errb = jax.vmap(

@@ -117,7 +117,9 @@ def test_dispatch_tiers_above_blocked_cutoff():
     assert bn.blocked_nll_preferred(1024)
     assert not bn.blocked_nll_preferred(1025)
     assert bn.hinv_nll_preferred(1500) and bn.hinv_nll_preferred(4096)
-    assert not bn.hinv_nll_preferred(4097)
+    # the tier stays inside its measured win window (BENCH_NOTES round 4)
+    assert not bn.hinv_nll_preferred(10963, b=1)
+    assert not bn.hinv_nll_preferred(4096, b=64)  # HBM gate
     m = gpr.GPR.create(km.SquaredExponential.create(), noise_variance=0.1)
     stacked = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32)[None],
                            m)
@@ -126,7 +128,7 @@ def test_dispatch_tiers_above_blocked_cutoff():
     assert gpr.nll_tier(stacked, X, Y) == "blocked_hinv"
     X5 = jnp.zeros((5000, 1), jnp.float32)
     Y5 = jnp.zeros((5000, 1), jnp.float32)
-    assert gpr.nll_tier(stacked, X5, Y5) == "xla"
+    assert gpr.nll_tier(stacked, X5, Y5) == "xla"  # beyond the win window
 
 
 def test_hinv_nll_matches_dense(rng):
@@ -161,3 +163,17 @@ def test_hinv_nll_matches_dense(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
+def test_triangular_inverse_uneven_matches_dense(rng):
+    """The uneven-split recursive inverse (non-power-of-two panel counts,
+    e.g. P=6 -> 4+2) equals numpy inv without power-of-two padding."""
+    for N in (768, 640):  # P=6, P=5
+        B = 2
+        A = rng.normal(size=(B, N, N)) / np.sqrt(N)
+        Ks = A @ np.swapaxes(A, -1, -2) + 2.0 * np.eye(N)
+        L = jnp.asarray(np.linalg.cholesky(Ks).astype(np.float32))
+        W = jax.jit(bn.triangular_inverse_uneven)(L)
+        assert W.shape == (B, N, N)
+        Wref = np.linalg.inv(np.asarray(L, np.float64))
+        np.testing.assert_allclose(np.asarray(W), Wref, atol=5e-4)
