@@ -457,3 +457,16 @@ def test_ard_rq_atom_routes_fused():
         noise_variance=0.2) for v in (0.8, 1.2)]
     stacked = _assert_fast_matches_xla(ms, X, Y, gtol=2e-2)
     assert gpr.nll_tier(stacked, X, Y) == "fused_general_prod"
+
+
+def test_pick_b_tile_bounds_padding_waste():
+    """Adaptive batch tiling: largest tile in (64, 32, 16, 8) whose batch
+    padding stays within 25% — fatter tiles amortize the kernel's serial
+    column loop (one pass per sequential grid program)."""
+    cases = {128: 64, 64: 64, 96: 32, 32: 32, 16: 16, 8: 8, 24: 8,
+             40: 16, 1: 8, 65: 16, 52: 64}
+    for b, want in cases.items():
+        got = st._pick_b_tile(b)
+        assert got == want, (b, got, want)
+        padded = -(-b // got) * got
+        assert padded <= max(1.25 * b, 8.0)
