@@ -105,8 +105,10 @@ def _warmup_and_sample_flat(
             hmc_mod.welford_update(wf, q), wf,
         )
 
-        # at the end of the mass window: set mass (and its momentum factor,
-        # refactored ONCE here), reset step-size adaptation
+        # Welford variance + mass Cholesky are evaluated every iteration for
+        # scan/vmap-friendliness (cheap at d ≤ 16; a lax.cond would cost more
+        # than it saves on TPU and becomes a select under vmap anyway) but
+        # only APPLIED at the single switch step below.
         at_switch = i == mass_end
         new_inv_mass = hmc_mod.welford_variance(wf, axis_name)
         inv_mass = jnp.where(at_switch, new_inv_mass, inv_mass)

@@ -45,6 +45,32 @@ def _css_residuals(z, phi, theta):
     return eps[m:]
 
 
+def _pacf_to_coef(r):
+    """Levinson–Durbin map from partial autocorrelations r ∈ (−1,1)^k to AR
+    coefficients of a stationary process (Monahan 1984). Applied to −θ it
+    likewise yields invertible MA coefficients."""
+    a = np.zeros(len(r))
+    for j in range(len(r)):
+        a[:j] = a[:j] - r[j] * a[:j][::-1]
+        a[j] = r[j]
+    return a
+
+
+def _coef_to_pacf(a):
+    """Inverse Levinson–Durbin; nonstationary inputs are clipped into the
+    open unit box so they can seed the constrained optimization."""
+    a = np.array(a, dtype=float)
+    r = np.zeros(len(a))
+    for j in range(len(a) - 1, -1, -1):
+        r[j] = a[j]
+        if j > 0:
+            denom = 1.0 - r[j] * r[j]
+            if abs(denom) < 1e-12:
+                denom = np.copysign(1e-12, denom)
+            a[:j] = (a[:j] + r[j] * a[:j][::-1]) / denom
+    return np.clip(r, -0.98, 0.98)
+
+
 def _hannan_rissanen_init(z, p, q):
     """Stage-1 long-AR fit for residual proxies, stage-2 OLS of z on its own
     lags and lagged residuals — the standard ARMA starting point."""
@@ -83,16 +109,26 @@ def fit_arima(y, order=(3, 1, 0)) -> ARIMAResult:
 
     from scipy.optimize import minimize
 
+    # Optimize in the Monahan/PACF space: x unconstrained, r = tanh(x) in
+    # (−1,1), Levinson–Durbin maps r to coefficients. Every iterate is a
+    # stationary AR / invertible MA model, matching statsmodels' default
+    # enforce_stationarity/enforce_invertibility behavior.
     phi0, theta0 = _hannan_rissanen_init(z, p, q)
-    x0 = np.concatenate([phi0, theta0])
+    x0 = np.arctanh(np.concatenate([_coef_to_pacf(phi0),
+                                    _coef_to_pacf(theta0)]))
+
+    def unpack(x):
+        r = np.tanh(x)
+        return _pacf_to_coef(r[:p]), _pacf_to_coef(r[p:])
 
     def css(x):
-        eps = _css_residuals(z, x[:p], x[p:])
+        phi, theta = unpack(x)
+        eps = _css_residuals(z, phi, theta)
         return float(eps @ eps)
 
-    res = minimize(css, x0, method="L-BFGS-B",
-                   bounds=[(-0.99 * 2, 0.99 * 2)] * (p + q))
-    x = res.x
+    res = minimize(css, x0, method="L-BFGS-B")
+    phi_hat, theta_hat = unpack(res.x)
+    x = np.concatenate([phi_hat, theta_hat])
     eps = _css_residuals(z, x[:p], x[p:])
     sigma2 = float(eps @ eps / max(len(eps) - p - q, 1))
     return ARIMAResult(ar_coefs=x[:p], ma_coefs=x[p:], sigma2=sigma2,

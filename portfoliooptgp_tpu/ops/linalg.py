@@ -113,7 +113,7 @@ def cholesky_inverse_pair(K):
 
     Forward failure behaves like `cholesky_guarded`: NaN outputs, zero
     gradients. This is the M-phase primitive of the fused SVGP step
-    (models/svgp.gram_finish_fast)."""
+    (models/svgp.gaussian_elbo_gram_fused)."""
     L = jnp.linalg.cholesky(K)
     W = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(L.shape[-1], dtype=L.dtype), lower=True)

@@ -152,8 +152,8 @@ def batched_walk_forward(
         n_shards = mesh.shape[mesh_axis]
         if (D * R) % n_shards:
             raise ValueError(
-                f"walk-forward batch D*R={D*R} must divide the "
-                f"'{mesh_axis}' axis size {n_shards}")
+                f"the '{mesh_axis}' axis size {n_shards} must divide the "
+                f"walk-forward batch D*R={D*R}")
         row_sharding = jax.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh_axis))
         stacked = jax.tree.map(

@@ -79,6 +79,28 @@ def test_sharded_nll_grads_match_dense(problem):
     np.testing.assert_allclose(float(gn), float(wn), rtol=1e-8)
 
 
+def test_sharded_nll_grads_match_dense_fast(rng):
+    """Default-tier gate for the distributed-Cholesky custom VJP (VERDICT r4
+    item 7): fast shape N=64 over the full 8-device mesh so a plain
+    `pytest -q` covers the sharded factorization gradient."""
+    n = 64
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, (n, 1)), 0))
+    Y = jnp.sin(X) + 0.1 * jnp.asarray(rng.normal(size=(n, 1)))
+    kern = km.SquaredExponential.create(variance=1.3, lengthscales=1.7)
+    K = kern.K(X)
+    m = mesh_mod.make_mesh()
+    noise = jnp.asarray(0.05, K.dtype)
+
+    gK, gY, gn = jax.grad(
+        lambda K, Y, s: sharded_gpr_nll(K, Y, s, m, block_size=8),
+        argnums=(0, 1, 2),
+    )(K, Y, noise)
+    wK, wY, wn = jax.grad(_dense_nll, argnums=(0, 1, 2))(K, Y, noise)
+    np.testing.assert_allclose(np.asarray(gK), np.asarray(wK), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gY), np.asarray(wY), rtol=1e-8)
+    np.testing.assert_allclose(float(gn), float(wn), rtol=1e-8)
+
+
 def test_sharded_nll_trains_hyperparameters(problem):
     """grad flows through K(X; θ) → sharded NLL: one gradient step on the
     kernel hyperparameters must match the dense path exactly."""

@@ -76,6 +76,27 @@ def test_nuts_recovers_correlated_gaussian():
     assert float(np.asarray(stats.diverging).mean()) < 0.05
 
 
+def test_nuts_recovers_correlated_gaussian_fast():
+    """Default-tier sampler-correctness gate (VERDICT r4 item 7): the full
+    recovery test at reduced draws and loosened tolerances, so a plain
+    `pytest -q` catches a broken integrator/U-turn/mass path."""
+    cov = jnp.asarray([[2.0, 1.2], [1.2, 1.5]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    samples, stats = sample_nuts(
+        logp, jnp.zeros(2), jax.random.PRNGKey(0),
+        num_warmup=150, num_samples=350, num_chains=1, max_depth=6,
+    )
+    draws = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), [0.0, 0.0], atol=0.35)
+    np.testing.assert_allclose(np.cov(draws.T), np.asarray(cov), atol=0.7)
+    assert float(np.asarray(stats.accept_prob).mean()) > 0.5
+    assert float(np.asarray(stats.diverging).mean()) < 0.05
+
+
 def test_welford_dense_matches_numpy_cov(rng):
     xs = rng.normal(size=(200, 3)) @ np.array(
         [[1.0, 0.6, 0.0], [0.0, 0.8, 0.3], [0.0, 0.0, 0.5]]

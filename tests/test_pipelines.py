@@ -214,6 +214,37 @@ def test_arima_ma_terms_recover_coefficients():
     assert np.isfinite(res2.sigma2) and res2.sigma2 <= res.sigma2 * 1.05
 
 
+def test_arima_enforces_stationary_invertible():
+    """ADVICE r4: the CSS polish is reparametrized through the Monahan/PACF
+    transform, so fitted AR coefficients are always stationary and MA
+    coefficients invertible — even on a near-unit-root series — and the
+    multi-step forecast cannot diverge."""
+    rng = np.random.default_rng(7)
+    n = 400
+    # explosive-looking level series: strong trend + tiny noise drives the
+    # Hannan–Rissanen init toward the unit circle
+    y = np.cumsum(1.0 + 0.995 * np.arange(n) * 0.01 + 0.02 * rng.normal(size=n))
+
+    for order in [(1, 1, 1), (3, 1, 2)]:
+        res = arima.fit_arima(y, order=order)
+        # all PACF coordinates strictly inside (−1, 1) ⇔ stationary/invertible
+        assert np.all(np.abs(arima._coef_to_pacf(res.ar_coefs)) < 1.0)
+        assert np.all(np.abs(arima._coef_to_pacf(res.ma_coefs)) < 1.0)
+        # AR polynomial roots outside the unit circle (the direct criterion)
+        if len(res.ar_coefs):
+            roots = np.roots(np.r_[1.0, -res.ar_coefs])
+            assert np.all(np.abs(roots) < 1.0 + 1e-8)
+        fc = arima.forecast(y, res, steps=50)
+        assert np.all(np.isfinite(fc))
+        # a stationary in-differences model cannot blow up over 50 steps
+        assert np.max(np.abs(np.diff(fc))) < 10 * np.max(np.abs(np.diff(y)))
+
+    # round-trip of the transform itself
+    r = np.array([0.6, -0.4, 0.2])
+    np.testing.assert_allclose(
+        arima._coef_to_pacf(arima._pacf_to_coef(r)), r, atol=1e-12)
+
+
 def test_arima_pipeline(market):
     mi = make_mi(market)
     out = mi.run_arima()
