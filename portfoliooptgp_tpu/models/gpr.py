@@ -295,13 +295,13 @@ def nll_tier(stacked_model, X, Y, fast: bool = True) -> str:
         and X.dtype == jnp.float32
         and params_f32
         and Y.shape[1] == 1
-        and (nll_mod.pallas_nll_supported(n)
+        and (st_mod.fused_nll_supported(n)
              or blocked_mod.blocked_nll_preferred(n)
              or blocked_mod.hinv_nll_preferred(n, b))
     ):
         return "xla"
     spec = fused_stationary_spec(stacked_model, X)
-    if spec is not None and nll_mod.pallas_nll_supported(n):
+    if spec is not None and st_mod.fused_nll_supported(n):
         if (len(spec.families) == 1 and spec.families[0] in st_mod.FAMILIES
                 and spec.dims == (1,)):
             return "fused_stationary"
@@ -317,11 +317,13 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
     """NLL for a stacked batch of models sharing (X, Y) — the vmapped-restart
     primitive. With `fast=True` and float32 inputs the batch is routed by
     kernel structure and N:
-    - supported kernel atoms (see `fused_stationary_spec`) and N ≤ 256 →
-      fully-fused build-in-VMEM Pallas kernel (K never materialized in HBM);
+    - supported kernel atoms (see `fused_stationary_spec`) and N ≤ 512 →
+      fully-fused build-in-VMEM Pallas kernel (K never materialized in HBM;
+      N > 256 lowers with batch tile ≤ 16, stationary_nll.MAX_FUSED_N);
     - other kernels, N ≤ 256 → dense (B,N,N) K + in-VMEM Pallas factor
       (ops/pallas/nll.py);
-    - 256 < N ≤ 1024 → blocked Pallas-panel + MXU-syrk Cholesky
+    - 256 < N ≤ 1024 (fused-ineligible kernels) → blocked Pallas-panel +
+      MXU-syrk Cholesky
       (ops/pallas/blocked_nll.py; wins vs XLA only up to this N — see
       blocked_nll.BLOCKED_PREFERRED_N);
     - 1024 < N ≤ 4096 → XLA Cholesky + hierarchical MXU triangular inverse

