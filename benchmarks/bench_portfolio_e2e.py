@@ -164,6 +164,25 @@ def compare_to_goldens(quality, goldens, atol=0.02):
     return True, worst
 
 
+def measure_sequential(data_root: str, maxiter: int = 200) -> float:
+    """Wall time of the reference-shaped SEQUENTIAL path: per-day retraining
+    loop (run_step_4(batched=False), the literal main.py:414-456 structure)
+    for all 5 assets. This is the vs_baseline denominator of the driver's
+    portfolio_e2e_s metric — measured once on this host and stored in the
+    goldens file (re-run --goldens to refresh)."""
+    from portfoliooptgp_tpu.pipelines import MultiInputGPR
+
+    t0 = time.perf_counter()
+    for ticker in ASSETS:
+        mi = MultiInputGPR(
+            ticker=ticker, features=FEATURES, data_root=data_root,
+            threshold=0.30, removal_percentage=0.2, maxiter=maxiter,
+            isFixedLikelihood=True, **DATES,
+        )
+        mi.run_step_4(batched=False)
+    return time.perf_counter() - t0
+
+
 def main():
     if "--goldens" in sys.argv:
         import jax
@@ -173,11 +192,13 @@ def main():
         with tempfile.TemporaryDirectory() as root:
             make_market(root)
             elapsed, quality = run_workflow(root)
+            seq = measure_sequential(root)
         payload = {
             "_provenance": "float64 CPU run of benchmarks/bench_portfolio_e2e.py"
                            " --goldens (sequential-parity pinned by"
                            " tests/test_pipelines.py)",
             "cpu_f64_seconds": round(elapsed, 2),
+            "cpu_sequential_seconds": round(seq, 2),
             "strategies": quality,
         }
         with open(GOLDENS_PATH, "w") as fh:

@@ -112,10 +112,21 @@ def predict_y(model: GPR, X, Y, Xnew, cache: Optional[GPRPosterior] = None):
 
 
 def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
-                                   num_lanczos: int = 32, cg_tol: float = 1e-6):
+                                   num_lanczos: int = 32, cg_tol: float = 1e-4):
     """Matrix-free NLL for large N (CG quad + SLQ log-det, ops/iterative.py).
+
     Stochastic in the log-det; use for N beyond direct-factorization budgets
-    with Adam-style optimizers that average gradient noise."""
+    with Adam-style optimizers that average gradient noise. This is the
+    RECOMMENDED path past the hinv window (padded N > 4096, where the exact
+    dispatch in `batched_neg_log_marginal_likelihood` hands off to XLA):
+    measured round 5 at the reference's full-AAPL N=10,963 (B=1, f32,
+    cg_tol=1e-4 → 124 CG iterations), value+grad runs 116.1 ms/iter vs
+    350.7 ms for the dense XLA path (3.0×), with |ΔNLL|/NLL = 2.7e-5,
+    noise-gradient error 7e-6, and 0.7–3.8% stochastic error on kernel
+    hyperparameter gradients at the default 16 probes
+    (benchmarks/bench_cg_large.py). It stays OUT of the exact dispatch
+    because its log-det and gradients are estimators, not values — callers
+    opt in explicitly."""
     from portfoliooptgp_tpu.ops import iterative
 
     K = model.kernel.K(X)
@@ -328,7 +339,11 @@ def batched_neg_log_marginal_likelihood(stacked_model, X, Y, fast: bool = True):
       blocked_nll.BLOCKED_PREFERRED_N);
     - 1024 < N ≤ 4096 → XLA Cholesky + hierarchical MXU triangular inverse
       with an all-matmul backward (blocked_nll.batched_nll_hinv);
-    - otherwise the vmapped XLA path.
+    - otherwise the vmapped XLA path. Past this window the matrix-free
+      CG+SLQ tier (`neg_log_marginal_likelihood_cg`) measures 3.0× faster
+      than XLA at N=10,963 but is stochastic in the log-det, so it is
+      opt-in rather than dispatched (see its docstring for the measured
+      accuracy budget).
     All tiers share the same custom-VJP contract, return (B,) losses, and
     record their dispatch decision in `DISPATCH_EVENTS` at trace time."""
     import jax
