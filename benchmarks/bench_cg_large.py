@@ -56,51 +56,54 @@ def main():
     noise = jnp.asarray(nz, jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    # ---- accuracy vs the dense float64 host reference -------------------
-    import scipy.linalg as sla
-
-    t0 = time.perf_counter()
-    Ks64 = K64 + nz * np.eye(n)
-    L64 = sla.cholesky(Ks64, lower=True)
-    a64 = sla.solve_triangular(L64, y64, lower=True)
-    alpha64 = sla.solve_triangular(L64.T, a64)
-    val64 = float(0.5 * (y64 * alpha64).sum() + np.log(np.diag(L64)).sum()
-                  + 0.5 * n * np.log(2 * np.pi))
-    Winv64 = sla.solve_triangular(L64, np.eye(n), lower=True)
-    Kinv64 = Winv64.T @ Winv64
-    del Winv64, L64, Ks64
-    dK64 = 0.5 * (Kinv64 - alpha64 @ alpha64.T)
-    dnz64 = 0.5 * (np.trace(Kinv64) - float((alpha64 * alpha64).sum()))
-    del Kinv64
-    print(f"host f64 dense reference: {time.perf_counter()-t0:.0f}s "
-          f"val={val64:.4f} dnoise={dnz64:.4f}", flush=True)
-
     def cg_loss(K, y, nzs):
         return iterative.nll_cg(K, y, nzs, key, probes, lanczos, tol)
 
-    vg = jax.jit(jax.value_and_grad(cg_loss, argnums=(0, 1, 2)))
-    t0 = time.perf_counter()
-    val, (dK, dy, dnz) = vg(K, y, noise)
-    val = float(np.asarray(val))
-    print(f"[cg vg compile+first {time.perf_counter()-t0:.0f}s]", flush=True)
+    # ---- accuracy vs the dense float64 host reference -------------------
+    if "--xla-only" not in sys.argv:
+        import scipy.linalg as sla
 
-    _, aux = iterative._nll_cg_fwd_impl(K, y, noise, key, probes, lanczos, tol)
-    print(f"cg iterations: {int(np.asarray(aux.cg_iters))}", flush=True)
+        t0 = time.perf_counter()
+        Ks64 = K64 + nz * np.eye(n)
+        L64 = sla.cholesky(Ks64, lower=True)
+        a64 = sla.solve_triangular(L64, y64, lower=True)
+        alpha64 = sla.solve_triangular(L64.T, a64)
+        val64 = float(0.5 * (y64 * alpha64).sum() + np.log(np.diag(L64)).sum()
+                      + 0.5 * n * np.log(2 * np.pi))
+        Winv64 = sla.solve_triangular(L64, np.eye(n), lower=True)
+        Kinv64 = Winv64.T @ Winv64
+        del Winv64, L64, Ks64
+        dK64 = 0.5 * (Kinv64 - alpha64 @ alpha64.T)
+        dnz64 = 0.5 * (np.trace(Kinv64) - float((alpha64 * alpha64).sum()))
+        del Kinv64
+        print(f"host f64 dense reference: {time.perf_counter()-t0:.0f}s "
+              f"val={val64:.4f} dnoise={dnz64:.4f}", flush=True)
 
-    # projections of dK onto random directions (full f64 dK is in memory)
-    dK32 = np.asarray(dK, dtype=np.float64)
-    proj_err = []
-    for s in range(4):
-        V = np.random.default_rng(s).standard_normal((n, n)) * (1.0 / n)
-        p_got, p_want = float((dK32 * V).sum()), float((dK64 * V).sum())
-        proj_err.append(abs(p_got - p_want) / max(abs(p_want), 1e-12))
-    rel_val = abs(val - val64) / abs(val64)
-    rel_dnz = abs(float(np.asarray(dnz)) - dnz64) / max(abs(dnz64), 1e-12)
-    dk_fro = float(np.linalg.norm(dK32 - dK64) / np.linalg.norm(dK64))
-    print(f"accuracy: |dNLL|/|NLL| = {rel_val:.2e}  dnoise rel = {rel_dnz:.2e}"
-          f"  dK Fro rel = {dk_fro:.2e}  dK projections rel = "
-          f"{['%.2e' % e for e in proj_err]}", flush=True)
-    del dK32, dK64
+        vg = jax.jit(jax.value_and_grad(cg_loss, argnums=(0, 1, 2)))
+        t0 = time.perf_counter()
+        val, (dK, dy, dnz) = vg(K, y, noise)
+        val = float(np.asarray(val))
+        print(f"[cg vg compile+first {time.perf_counter()-t0:.0f}s]",
+              flush=True)
+
+        _, aux = iterative._nll_cg_fwd_impl(K, y, noise, key, probes,
+                                            lanczos, tol)
+        print(f"cg iterations: {int(np.asarray(aux.cg_iters))}", flush=True)
+
+        # projections of dK onto random directions (full f64 dK in memory)
+        dK32 = np.asarray(dK, dtype=np.float64)
+        proj_err = []
+        for s in range(4):
+            V = np.random.default_rng(s).standard_normal((n, n)) * (1.0 / n)
+            p_got, p_want = float((dK32 * V).sum()), float((dK64 * V).sum())
+            proj_err.append(abs(p_got - p_want) / max(abs(p_want), 1e-12))
+        rel_val = abs(val - val64) / abs(val64)
+        rel_dnz = abs(float(np.asarray(dnz)) - dnz64) / max(abs(dnz64), 1e-12)
+        dk_fro = float(np.linalg.norm(dK32 - dK64) / np.linalg.norm(dK64))
+        print(f"accuracy: |dNLL|/|NLL| = {rel_val:.2e}  dnoise rel = "
+              f"{rel_dnz:.2e}  dK Fro rel = {dk_fro:.2e}  dK projections "
+              f"rel = {['%.2e' % e for e in proj_err]}", flush=True)
+        del dK32, dK64
 
     if "--acc-only" in sys.argv:
         return
@@ -137,15 +140,19 @@ def main():
             return val * 1e-3 + 1e-20 * jnp.sum(g[-1, :])
         return body
 
-    timed(f"cg+slq nll value+grad N={n}", chain(vg_of(cg_loss)), K)
-    timed(f"cg+slq nll fwd N={n}",
-          chain(lambda c, Kop: cg_loss(Kop + c * 1e-9, y, noise) * 1e-3), K)
+    if "--xla-only" not in sys.argv:
+        timed(f"cg+slq nll value+grad N={n}", chain(vg_of(cg_loss)), K)
+        timed(f"cg+slq nll fwd N={n}",
+              chain(lambda c, Kop: cg_loss(Kop + c * 1e-9, y, noise) * 1e-3), K)
 
     if "--xla" in sys.argv:
-        eye = jnp.eye(n, dtype=jnp.float32)
 
         def xla_nll(Kk, y, nzs):
-            Kj = Kk + nzs * eye
+            # diagonal added via scatter, NOT a closed-over jnp.eye: an
+            # (N, N) constant is serialized into the remote-compile body
+            # and trips the tunnel's HTTP 413 limit at N >= 8192
+            idx = jnp.arange(n)
+            Kj = Kk.at[idx, idx].add(nzs)
             L = jnp.linalg.cholesky(Kj)
             a = jax.lax.linalg.triangular_solve(
                 L, y, left_side=True, lower=True)[:, 0]
