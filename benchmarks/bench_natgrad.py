@@ -99,7 +99,9 @@ def main():
     # --- ELBO vs wallclock to a fixed target --------------------------------
     # run k steps from the same init, evaluate the held-out-batch ELBO; the
     # wallclock axis uses the measured steps/s above
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
     def run_adam(k):
         def body(c, _):
             st, _ = c
@@ -110,7 +112,7 @@ def main():
             None, length=k)
         return eval_elbo(st.model)
 
-    @jax.jit
+    @partial(jax.jit, static_argnums=0)
     def run_ng(k):
         def body(c, _):
             st, _ = c

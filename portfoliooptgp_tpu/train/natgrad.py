@@ -9,8 +9,9 @@ parameters η, applied as a step in *natural* parameters θ:
     ξ = (m, L)            (q_mu, lower-triangular q_sqrt), per latent
     η = (m, S + m mᵀ),    S = L Lᵀ
     θ = (S⁻¹ m, −½ S⁻¹)
-    θ ← θ − γ · dELBO/dη,  with dL/dη = (∂ξ/∂η)ᵀ dL/dξ   (one JAX vjp
-                            through the closed-form η → θ → ξ map)
+    θ ← θ + γ · dELBO/dη,  applied in the equivalent precision-space form
+                            P' = S⁻¹ − 2γ g_S,  m' = m + γ P'⁻¹ g_m
+                            (no η materialization — see per_latent)
 
 With a Gaussian likelihood and γ = 1, one step lands exactly on the optimal
 q(u) for the current hyperparameters (tested against the SGPR collapsed
@@ -27,35 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from portfoliooptgp_tpu.models import svgp as svgp_mod
-
-
-def _xi_of_theta(theta1, theta2):
-    """θ → ξ: S = −½ θ2⁻¹, m = S θ1, L = chol(S)."""
-    M = theta1.shape[0]
-    S = -0.5 * jnp.linalg.inv(theta2)
-    S = 0.5 * (S + S.T) + 1e-12 * jnp.eye(M, dtype=S.dtype)
-    m = S @ theta1
-    L = jnp.linalg.cholesky(S)
-    return m, L
-
-
-def _theta_of_xi(m, L):
-    M = m.shape[0]
-    S = L @ L.T
-    Sinv = jnp.linalg.inv(S + 1e-12 * jnp.eye(M, dtype=S.dtype))
-    return Sinv @ m, -0.5 * Sinv
-
-
-def _theta_of_eta(eta1, eta2):
-    M = eta1.shape[0]
-    S = eta2 - jnp.outer(eta1, eta1)
-    S = 0.5 * (S + S.T) + 1e-12 * jnp.eye(M, dtype=S.dtype)
-    Sinv = jnp.linalg.inv(S)
-    return Sinv @ eta1, -0.5 * Sinv
-
-
-def _xi_of_eta(eta1, eta2):
-    return _xi_of_theta(*_theta_of_eta(eta1, eta2))
 
 
 def natgrad_step(model, X, Y, *, num_data: Optional[int] = None, gamma: float = 1.0,
@@ -75,22 +47,43 @@ def natgrad_step(model, X, Y, *, num_data: Optional[int] = None, gamma: float = 
 
     dmu, dsqrt = jax.grad(elbo_of_xi, argnums=(0, 1))(model.q_mu, model.q_sqrt)
 
+    # Precision-space form of the θ-update (algebraically identical to
+    # stepping θ ← θ + γ dELBO/dη, but never materializes the expectation
+    # parameter η2 = S + m mᵀ): with g_S = dELBO/dS and g_m = dELBO/dm,
+    #
+    #     P' = S⁻¹ − 2γ g_S       (new precision)
+    #     S' = P'⁻¹,  m' = m + γ S' g_m
+    #
+    # The η form computes S' via (η2' − η1'η1'ᵀ), a catastrophic f32
+    # cancellation once the posterior tightens (S ≪ m mᵀ): measured on the
+    # bench shape it goes non-PSD → NaN between steps 450-500 at γ=0.1.
+    # The precision form has no such cancellation; matmul precision is
+    # pinned to full f32 for the inv/cholesky round-trips (the TPU-default
+    # single-bf16-pass matmul — same fix as ops/iterative.py's CG/Lanczos).
     def per_latent(m_p, L_p, dmu_p, dL_p):
+        M = m_p.shape[0]
+        eye = jnp.eye(M, dtype=m_p.dtype)
         L_p = jnp.tril(L_p)
         dL_p = jnp.tril(dL_p)
-        theta1, theta2 = _theta_of_xi(m_p, L_p)
-        # dELBO/dη via one vjp through the closed-form map η → ξ at current η
-        eta1 = m_p
-        eta2 = L_p @ L_p.T + jnp.outer(m_p, m_p)
-        _, vjp = jax.vjp(_xi_of_eta, eta1, eta2)
-        deta1, deta2 = vjp((dmu_p, dL_p))
-        new_theta1 = theta1 + gamma * deta1
-        new_theta2 = theta2 + gamma * 0.5 * (deta2 + deta2.T)
-        return _xi_of_theta(new_theta1, new_theta2)
+        Linv = jax.scipy.linalg.solve_triangular(L_p, eye, lower=True)
+        Sinv = Linv.T @ Linv
+        # g_S = dELBO/dS from the autodiff gradient wrt L via the chol VJP
+        S = L_p @ L_p.T
+        _, chol_vjp = jax.vjp(jnp.linalg.cholesky, 0.5 * (S + S.T))
+        gS = chol_vjp(dL_p)[0]
+        gS = 0.5 * (gS + gS.T)
+        P_new = Sinv - 2.0 * gamma * gS
+        P_new = 0.5 * (P_new + P_new.T) + 1e-12 * eye
+        Pc = jnp.linalg.cholesky(P_new)
+        S_new = jax.scipy.linalg.cho_solve((Pc, True), eye)
+        S_new = 0.5 * (S_new + S_new.T)
+        m_new = m_p + gamma * (S_new @ dmu_p)
+        return m_new, jnp.linalg.cholesky(S_new)
 
-    new_mu_cols, new_L = jax.vmap(per_latent, in_axes=(1, 0, 1, 0))(
-        model.q_mu, model.q_sqrt, dmu, dsqrt
-    )
+    with jax.default_matmul_precision("float32"):
+        new_mu_cols, new_L = jax.vmap(per_latent, in_axes=(1, 0, 1, 0))(
+            model.q_mu, model.q_sqrt, dmu, dsqrt
+        )
     new_mu = new_mu_cols.T  # (M, P)
     return dataclasses.replace(model, q_mu=new_mu, q_sqrt=new_L)
 
