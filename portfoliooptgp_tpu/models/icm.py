@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from portfoliooptgp_tpu.kernels.base import Kernel, pytree_dataclass
 from portfoliooptgp_tpu.models.likelihoods import Gaussian
+from portfoliooptgp_tpu.ops.linalg import safe_eigh
 from portfoliooptgp_tpu.params import as_param, positive, positive_inv
 
 EIG_JITTER = 1e-10
@@ -77,8 +78,11 @@ class ICMDecomposition(NamedTuple):
 
 def decompose(model: ICMGPR, X, Y) -> ICMDecomposition:
     Kx = model.kernel.K(X)
-    lam_x, Qx = jnp.linalg.eigh(Kx + EIG_JITTER * jnp.eye(Kx.shape[0], dtype=Kx.dtype))
-    lam_b, Qb = jnp.linalg.eigh(model.B)
+    # safe_eigh: B has p − rank exactly-tied eigenvalues at the uniform-κ
+    # init and Kx is near-rank-deficient for long lengthscales; the plain
+    # eigh VJP is NaN at such (near-)degeneracies (ops/linalg.safe_eigh).
+    lam_x, Qx = safe_eigh(Kx + EIG_JITTER * jnp.eye(Kx.shape[0], dtype=Kx.dtype))
+    lam_b, Qb = safe_eigh(model.B)
     Ytil = Qx.T @ Y @ Qb
     weights = lam_x[:, None] * lam_b[None, :] + model.likelihood.variance
     return ICMDecomposition(Qx, lam_x, Qb, lam_b, Ytil, weights)
@@ -90,6 +94,50 @@ def neg_log_marginal_likelihood(model: ICMGPR, X, Y):
     quad = jnp.sum(dec.Ytil**2 / dec.weights)
     logdet = jnp.sum(jnp.log(dec.weights))
     return 0.5 * quad + 0.5 * logdet + 0.5 * n * p * jnp.log(2.0 * jnp.pi)
+
+
+def neg_log_marginal_likelihood_chol(model: ICMGPR, X, Y):
+    """Same NLL without eigh(Kx): with B = E Λb Eᵀ (p×p, cheap) the ICM Gram
+    block-diagonalizes over B's eigenbasis,
+
+        NLL = Σ_i [ ½ ỹ_iᵀ (λb_i Kx + σ²I)⁻¹ ỹ_i
+                    + ½ log|λb_i Kx + σ²I| ] + NP/2 log 2π,   Ỹ = Y E,
+
+    i.e. P independent shifted-GPR NLLs sharing one kernel build — a (P, N,
+    N) batched Cholesky routed through the same Pallas dispatch tiers as GPR
+    restart training. This is the NUTS log-density path: TPU's eigh is an
+    iterative serial factorization whose cost (and vjp) dominated every
+    leapfrog at the 20-asset shape (the `eigh(Kx)` variant crashed the
+    remote worker outright at N=261, P=20, 300 NUTS iterations), while the
+    batched-Cholesky form is the fused/blocked tier's home shape.
+    Differentiates through eigh(B) exactly like `decompose` does."""
+    from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
+    from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+
+    n, p = Y.shape
+    lam_b, E = safe_eigh(model.B)
+    err = (Y @ E).T  # (P, N): per-output residuals in B's eigenbasis
+    Kx = model.kernel.K(X)  # built ONCE, shared by all P outputs
+    Kb = lam_b[:, None, None] * Kx[None]
+    noise = jnp.broadcast_to(model.likelihood.variance, (p,))
+    if nll_mod.pallas_nll_supported(n):
+        losses = nll_mod.batched_nll(Kb, err, noise)
+    elif blocked_mod.blocked_nll_preferred(n):
+        losses = blocked_mod.batched_nll_blocked(Kb, err, noise)
+    elif blocked_mod.hinv_nll_preferred(n, p):
+        losses = blocked_mod.batched_nll_hinv(Kb, err, noise)
+    else:
+        eye = jnp.eye(n, dtype=Kx.dtype)
+
+        def one(K_i, e_i):
+            L = jnp.linalg.cholesky(K_i + noise[0] * eye)
+            a = jax.scipy.linalg.solve_triangular(L, e_i[:, None], lower=True)
+            return (0.5 * jnp.sum(a * a)
+                    + jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+        losses = jax.vmap(one)(Kb, err)
+    return jnp.sum(losses)
 
 
 def predict_f(model: ICMGPR, X, Y, Xnew):

@@ -167,3 +167,41 @@ def mahalanobis_from_chol(L, y):
     """yᵀ K⁻¹ y via one triangular solve: ‖L⁻¹y‖²."""
     a = solve_lower(L, y)
     return jnp.sum(a * a)
+
+
+@jax.custom_vjp
+def safe_eigh(A):
+    """eigh with a degeneracy-safe VJP.
+
+    The standard eigh pullback contains F_ij = 1/(λ_j − λ_i), which is NaN
+    for repeated eigenvalues. For any downstream function that depends on A
+    only as a matrix (invariant to basis rotations inside a degenerate
+    eigenspace — true of every spectral function: NLLs, log-dets, solves),
+    the degenerate contributions cancel analytically; this VJP implements
+    that cancellation by zeroing F where |λ_j − λ_i| is below a relative
+    threshold. Needed by the ICM model, whose coregionalization matrix
+    B = WWᵀ + diag(κ) has p − rank exactly-tied eigenvalues at the uniform-κ
+    init (models/icm.py) — plain `jnp.linalg.eigh` gradients are NaN there.
+    """
+    return jnp.linalg.eigh(A)
+
+
+def _safe_eigh_fwd(A):
+    lam, E = jnp.linalg.eigh(A)
+    return (lam, E), (lam, E)
+
+
+def _safe_eigh_bwd(res, ct):
+    lam, E = res
+    lam_bar, E_bar = ct
+    d = lam[None, :] - lam[:, None]  # d_ij = λ_j − λ_i
+    scale = jnp.maximum(jnp.max(jnp.abs(lam)), 1.0)
+    eps = 64.0 * jnp.finfo(lam.dtype).eps * scale
+    F = jnp.where(jnp.abs(d) > eps, 1.0 / jnp.where(jnp.abs(d) > eps, d, 1.0), 0.0)
+    M = F * (E.T @ E_bar)
+    Abar = E @ (jnp.diag(lam_bar) + 0.5 * (M + M.T)) @ E.T
+    # input is constrained symmetric: symmetrize the cotangent
+    return (0.5 * (Abar + Abar.T),)
+
+
+safe_eigh.defvjp(_safe_eigh_fwd, _safe_eigh_bwd)

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax
+import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,8 +82,11 @@ def run_frontier_pipeline(
         km.SquaredExponential.create(), num_outputs=p, rank=rank,
         noise_variance=noise_variance, seed=seed,
     )
+    # _chol variant: eigh(B)-only decomposition + batched Pallas-tier
+    # Cholesky — equivalent values (rel ~1e-7) but avoids differentiating
+    # TPU's serial eigh(Kx) in every optimizer/leapfrog step (models/icm.py)
     res = lbfgs.fit(
-        lambda m: icm.neg_log_marginal_likelihood(m, Xs, Ymat),
+        lambda m: icm.neg_log_marginal_likelihood_chol(m, Xs, Ymat),
         model0, maxiter=maxiter,
     )
     model = res.params
@@ -98,7 +102,7 @@ def run_frontier_pipeline(
 
         def logdensity(m):
             flat, _ = jax.flatten_util.ravel_pytree(m)
-            return -icm.neg_log_marginal_likelihood(m, Xs, Ymat) - 0.5 * jnp.sum(flat**2)
+            return -icm.neg_log_marginal_likelihood_chol(m, Xs, Ymat) - 0.5 * jnp.sum(flat**2)
 
         samples, _ = sample_nuts(
             logdensity, model, jax.random.PRNGKey(seed),

@@ -138,3 +138,78 @@ def test_efficient_frontier_properties():
     assert t_sharpe >= sharpe.max() - 1e-3
     # max-return corner: all weight on asset 3 (mu=0.08)
     np.testing.assert_allclose(fr.returns[-1], 0.08, atol=2e-3)
+
+
+def test_icm_chol_nll_matches_eigh_value_and_grad(rng):
+    """neg_log_marginal_likelihood_chol (eigh(B)-only + batched-Cholesky,
+    the TPU NUTS/MLE path) equals the Kronecker-eigh NLL in value and
+    gradient at a non-degenerate point."""
+    import dataclasses
+
+    from jax.flatten_util import ravel_pytree
+
+    from portfoliooptgp_tpu.params import positive_inv
+
+    X, Y = make_mo_data(rng, n=40, p=5)
+    model = icm.ICMGPR.create(
+        km.SquaredExponential.create(1.2, 0.8), num_outputs=5, rank=2,
+        noise_variance=0.1, w_scale=0.5,
+    )
+    # distinct kappas: keep eigh(B) away from exact degeneracy so the plain
+    # formula is a valid reference
+    model = dataclasses.replace(
+        model, raw_kappa=positive_inv(jnp.linspace(0.5, 2.0, 5)))
+
+    a = float(icm.neg_log_marginal_likelihood(model, X, Y))
+    b = float(icm.neg_log_marginal_likelihood_chol(model, X, Y))
+    np.testing.assert_allclose(a, b, rtol=5e-6)
+    ga, _ = ravel_pytree(
+        jax.grad(lambda m: icm.neg_log_marginal_likelihood(m, X, Y))(model))
+    gb, _ = ravel_pytree(
+        jax.grad(lambda m: icm.neg_log_marginal_likelihood_chol(m, X, Y))(model))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4 * float(np.abs(ga).max()))
+
+
+def test_icm_gradients_finite_at_degenerate_B(rng):
+    """The uniform-κ init leaves B with p − rank exactly-tied eigenvalues;
+    safe_eigh (ops/linalg.py) must keep both NLL gradients finite there
+    (plain eigh autodiff NaNs on the 1/(λi−λj) pullback)."""
+    from jax.flatten_util import ravel_pytree
+
+    X, Y = make_mo_data(rng, n=35, p=6)
+    model = icm.ICMGPR.create(
+        km.SquaredExponential.create(), num_outputs=6, rank=2,
+        noise_variance=0.1,
+    )  # default kappa=1 for all outputs -> 4 exactly-degenerate eigenvalues
+    for fn in (icm.neg_log_marginal_likelihood,
+               icm.neg_log_marginal_likelihood_chol):
+        g, _ = ravel_pytree(jax.grad(lambda m: fn(m, X, Y))(model))
+        assert bool(jnp.all(jnp.isfinite(g))), fn.__name__
+
+
+def test_safe_eigh_matches_cholesky_grad():
+    """safe_eigh's VJP equals the (eigh-free) Cholesky autodiff gradient for
+    a spectral function, including at a matrix with repeated eigenvalues."""
+    from jax.flatten_util import ravel_pytree
+
+    from portfoliooptgp_tpu.ops.linalg import safe_eigh
+
+    w = jnp.asarray(np.random.default_rng(5).normal(size=(6, 2)), jnp.float32)
+
+    def logdet_eigh(w):
+        B = w @ w.T + jnp.eye(6)  # 4 eigenvalues exactly 1
+        lam, E = safe_eigh(B)
+        return jnp.sum(jnp.log(lam))
+
+    def logdet_chol(w):
+        B = w @ w.T + jnp.eye(6)
+        L = jnp.linalg.cholesky(B)
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    v1 = float(logdet_eigh(w)); v2 = float(logdet_chol(w))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    g1 = np.asarray(jax.grad(logdet_eigh)(w))
+    g2 = np.asarray(jax.grad(logdet_chol)(w))
+    assert np.all(np.isfinite(g1))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
