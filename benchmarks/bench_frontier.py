@@ -66,10 +66,14 @@ def main():
             data_root=root,
         )
         t0 = time.perf_counter()
+        # budget sized so the one-jit sampling executes in <~1 min on the
+        # chip: ~3.3 ms per 2-chain leapfrog at (P=20, N=261); a single
+        # device execution lasting several minutes trips the remote
+        # tunnel's watchdog and kills the worker (NEXT_STEPS protocol)
         res = run_frontier_pipeline(
             names, dh, rank=3, maxiter=300,
-            use_nuts=use_nuts, nuts_warmup=150, nuts_samples=150,
-            nuts_chains=2,
+            use_nuts=use_nuts, nuts_warmup=100, nuts_samples=100,
+            nuts_chains=2, nuts_max_depth=6,
         )
         elapsed = time.perf_counter() - t0
 

@@ -183,3 +183,35 @@ def posterior_asset_moments(model: ICMGPR, X, Y, Xnew):
     kss = model.kernel.Kdiag(Xnew[-1:])[0]
     Sigma = B * kss - s + model.likelihood.variance * jnp.eye(B.shape[0], dtype=B.dtype)
     return mu, Sigma
+
+
+def posterior_asset_moments_chol(model: ICMGPR, X, Y, Xnew):
+    """`posterior_asset_moments` without eigh(Kx) (see
+    `neg_log_marginal_likelihood_chol` for why): in B's eigenbasis each
+    eigenpair i needs (λb_i Kx + σ²I)⁻¹ applied to [ỹ_i | k*] — one batched
+    (P, N, N) Cholesky with two right-hand sides. Used by the frontier
+    pipeline's Bayesian averaging, where this runs vmapped over dozens of
+    NUTS draws in a single device execution."""
+    n, p = Y.shape
+    lam_b, E = safe_eigh(model.B)
+    B = model.B
+    Kx = model.kernel.K(X)
+    kstar = model.kernel.K(X, Xnew[-1:])  # (N, 1)
+    Kb = lam_b[:, None, None] * Kx[None] + (
+        model.likelihood.variance * jnp.eye(n, dtype=Kx.dtype)[None]
+    )
+    L = jnp.linalg.cholesky(Kb)  # (P, N, N)
+    rhs = jnp.concatenate(
+        [(Y @ E).T[:, :, None], jnp.broadcast_to(kstar, (p, n, 1))], axis=2
+    )  # (P, N, 2): [ỹ_i | k*]
+    sol = jax.scipy.linalg.cho_solve((L, True), rhs)
+    a = sol[:, :, 0]  # a_i = (λb_i Kx + σ²I)⁻¹ ỹ_i
+    c = jnp.einsum("pn,pn->p", jnp.broadcast_to(kstar[:, 0], (p, n)), sol[:, :, 1])
+    # Abar = [a_1 … a_P] Eᵀ  (== Qx (Ỹ/W) Qbᵀ);  mean = k*ᵀ Abar B
+    mu = (kstar[:, 0] @ (a.T @ E.T)) @ B
+    # s_jk = Σ_i c_i U_ij U_ik with U = Eᵀ B
+    U = E.T @ B
+    s = jnp.einsum("i,ij,ik->jk", c, U, U)
+    kss = model.kernel.Kdiag(Xnew[-1:])[0]
+    Sigma = B * kss - s + model.likelihood.variance * jnp.eye(p, dtype=B.dtype)
+    return mu, Sigma

@@ -54,6 +54,7 @@ def run_frontier_pipeline(
     nuts_warmup: int = 200,
     nuts_samples: int = 200,
     nuts_chains: int = 2,
+    nuts_max_depth: int = 8,
     risk_free_rate: float = 0.01 / 252,
     seed: int = 0,
 ) -> FrontierResult:
@@ -107,7 +108,7 @@ def run_frontier_pipeline(
         samples, _ = sample_nuts(
             logdensity, model, jax.random.PRNGKey(seed),
             num_warmup=nuts_warmup, num_samples=nuts_samples,
-            num_chains=nuts_chains, max_depth=8,
+            num_chains=nuts_chains, max_depth=nuts_max_depth,
         )
         flat_samples = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), samples
@@ -117,7 +118,9 @@ def run_frontier_pipeline(
         thinned = jax.tree.map(lambda x: x[::thin], flat_samples)
 
         def moments(m):
-            return icm.posterior_asset_moments(m, Xs, Ymat, Xnew)
+            # _chol variant: the vmap over draws would otherwise run one
+            # serial TPU eigh(Kx) per draw in a single device execution
+            return icm.posterior_asset_moments_chol(m, Xs, Ymat, Xnew)
 
         mus, Sigmas = jax.vmap(moments)(thinned)
         mu = jnp.mean(mus, axis=0)
@@ -125,7 +128,7 @@ def run_frontier_pipeline(
         mu_dev = mus - mu
         Sigma = jnp.mean(Sigmas, axis=0) + mu_dev.T @ mu_dev / mus.shape[0]
     else:
-        mu, Sigma = icm.posterior_asset_moments(model, Xs, Ymat, Xnew)
+        mu, Sigma = icm.posterior_asset_moments_chol(model, Xs, Ymat, Xnew)
 
     # 4. frontier
     frontier = efficient_frontier(

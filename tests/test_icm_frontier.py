@@ -213,3 +213,26 @@ def test_safe_eigh_matches_cholesky_grad():
     g2 = np.asarray(jax.grad(logdet_chol)(w))
     assert np.all(np.isfinite(g1))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_icm_chol_moments_match_eigh(rng):
+    """posterior_asset_moments_chol (the frontier pipeline's TPU path)
+    equals the Kronecker-eigh moments."""
+    import dataclasses
+
+    from portfoliooptgp_tpu.params import positive_inv
+
+    X, Y = make_mo_data(rng, n=45, p=5)
+    model = icm.ICMGPR.create(
+        km.SquaredExponential.create(1.1, 0.6), num_outputs=5, rank=2,
+        noise_variance=0.1, w_scale=0.5,
+    )
+    model = dataclasses.replace(
+        model, raw_kappa=positive_inv(jnp.linspace(0.5, 2.0, 5)))
+    Xnew = X[-1:] + 0.1
+    mu1, S1 = icm.posterior_asset_moments(model, X, Y, Xnew)
+    mu2, S2 = icm.posterior_asset_moments_chol(model, X, Y, Xnew)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2),
+                               rtol=1e-6, atol=1e-8)

@@ -441,6 +441,45 @@ def run_smoke(only: str | None = None):
         return float(np.abs(mean - mean_ref).max() / scale)
     check("icm decompose+predict_f", icm_predict)
 
+    # ICM chol NLL (eigh(B)-only + batched-Cholesky tier, the frontier
+    # MLE/NUTS log-density path) value+grad vs the Kronecker-eigh NLL, on
+    # chip — guards the safe_eigh VJP lowering and the tier routing for
+    # the (P, N, N) batch shape
+    def icm_chol_nll():
+        import jax.numpy as jnp
+        from jax.flatten_util import ravel_pytree
+
+        from portfoliooptgp_tpu.models import icm
+
+        n, p = 261, 20
+        X, _ = data(n)
+        base = np.sin(np.asarray(X, dtype=np.float64))
+        loadings = rng.normal(size=(1, p)) * 0.8 + 1.0
+        Yp = jnp.asarray((base @ loadings
+                          + 0.1 * rng.normal(size=(n, p))).astype(np.float32))
+        model = icm.ICMGPR.create(
+            km.SquaredExponential.create(1.0, 5.0), num_outputs=p, rank=3,
+            noise_variance=0.05, w_scale=0.5)
+        model = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+
+        va, ga = jax.jit(jax.value_and_grad(
+            lambda m: icm.neg_log_marginal_likelihood(m, X, Yp)))(model)
+        vb, gb = jax.jit(jax.value_and_grad(
+            lambda m: icm.neg_log_marginal_likelihood_chol(m, X, Yp)))(model)
+        va, vb = float(va), float(vb)
+        fa, _ = ravel_pytree(ga)
+        fb, _ = ravel_pytree(gb)
+        fa, fb = np.asarray(fa), np.asarray(fb)
+        assert np.isfinite(va) and np.isfinite(vb), (va, vb)
+        assert np.all(np.isfinite(fb)), "non-finite chol-NLL grad"
+        verr = abs(va - vb) / max(abs(va), 1.0)
+        assert verr < 1e-4, f"ICM NLL mismatch {va} vs {vb}"
+        gscale = max(np.abs(fa).max(), 1.0)
+        gerr = float(np.abs(fa - fb).max() / gscale)
+        assert gerr < 2e-2, f"ICM NLL grad mismatch {gerr}"
+        return max(verr, gerr)
+    check("icm chol NLL N=261 P=20", icm_chol_nll)
+
     # one-jit portfolio horizon solve (the per-day SLSQP replacement,
     # Portfolio/portfolio.py:102-146): simplex feasibility + finiteness
     # for the tx-coupled scan strategy AND the vmapped min-vol strategy
