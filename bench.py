@@ -362,10 +362,22 @@ def run_smoke_tier():
 
 
 def main():
+    import os
+
+    import jax
+
+    # Persistent compilation cache (works through the axon remote-compile
+    # tunnel: measured 154 s -> 0.8 s for a repeat compile). First run
+    # populates <repo>/.jax_cache; subsequent driver rounds and user runs
+    # pay near-zero compile cost — the production deployment model.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     use_cpu = "--cpu" in sys.argv
     if use_cpu:
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
 
     if "--no-smoke" not in sys.argv:

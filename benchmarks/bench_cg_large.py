@@ -38,6 +38,7 @@ def main():
     probes = arg("--probes", 16, int)
     lanczos = arg("--lanczos", 32, int)
     tol = arg("--tol", 1e-4, float)
+    prank = arg("--precond", 0, int)
     iters = 3
     print(f"backend={jax.default_backend()} N={n} probes={probes} "
           f"lanczos={lanczos} cg_tol={tol}", flush=True)
@@ -58,6 +59,9 @@ def main():
 
     def cg_loss(K, y, nzs):
         return iterative.nll_cg(K, y, nzs, key, probes, lanczos, tol)
+
+    def pcg_loss(K, y, nzs):
+        return iterative.nll_cg(K, y, nzs, key, probes, lanczos, tol, prank)
 
     # ---- accuracy vs the dense float64 host reference -------------------
     if "--xla-only" not in sys.argv:
@@ -144,6 +148,16 @@ def main():
         timed(f"cg+slq nll value+grad N={n}", chain(vg_of(cg_loss)), K)
         timed(f"cg+slq nll fwd N={n}",
               chain(lambda c, Kop: cg_loss(Kop + c * 1e-9, y, noise) * 1e-3), K)
+        if prank > 0:
+            _, auxp = iterative._nll_cg_fwd_impl(K, y, noise, key, probes,
+                                                 lanczos, tol, prank)
+            print(f"pcg(rank={prank}) iterations: "
+                  f"{int(np.asarray(auxp.cg_iters))}", flush=True)
+            timed(f"pcg(rank={prank})+slq nll value+grad N={n}",
+                  chain(vg_of(pcg_loss)), K)
+            timed(f"pcg(rank={prank})+slq nll fwd N={n}",
+                  chain(lambda c, Kop: pcg_loss(Kop + c * 1e-9, y, noise)
+                        * 1e-3), K)
 
     if "--xla" in sys.argv:
 

@@ -112,7 +112,8 @@ def predict_y(model: GPR, X, Y, Xnew, cache: Optional[GPRPosterior] = None):
 
 
 def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
-                                   num_lanczos: int = 32, cg_tol: float = 1e-4):
+                                   num_lanczos: int = 32, cg_tol: float = 1e-4,
+                                   precond_rank: int = 0):
     """Matrix-free NLL for large N (CG quad + SLQ log-det, ops/iterative.py).
 
     Stochastic in the log-det; use for N beyond direct-factorization budgets
@@ -132,7 +133,8 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
     K = model.kernel.K(X)
     err = Y - model.mean_function(X)
     return iterative.nll_cg(
-        K, err, model.likelihood.variance, key, num_probes, num_lanczos, cg_tol
+        K, err, model.likelihood.variance, key, num_probes, num_lanczos,
+        cg_tol, precond_rank
     )
 
 

@@ -62,6 +62,79 @@ def batched_cg(matvec: Callable, B_rhs, *, tol: float = 1e-8, maxiter: int = 256
     return x, it
 
 
+def pivoted_cholesky(K, rank: int, jitter: float = 1e-30):
+    """Partial pivoted Cholesky K ≈ L Lᵀ with L (N, rank) — the GPyTorch
+    preconditioner recipe (PAPERS.md: Gardner et al. 2018, §3.2). Greedy:
+    each step pivots on the largest remaining diagonal and eliminates one
+    column; O(N·rank) per step, O(N·rank²) total. Runs inside the nll_cg
+    custom-VJP forward, so it is never differentiated."""
+    n = K.shape[0]
+
+    def step(carry, i):
+        L, d = carry
+        piv = jnp.argmax(d)
+        val = jnp.sqrt(jnp.maximum(d[piv], jitter))
+        col = (jnp.take(K, piv, axis=1) - L @ L[piv]) / val
+        L = L.at[:, i].set(col)
+        d = jnp.maximum(d - col * col, 0.0)
+        return (L, d), None
+
+    L0 = jnp.zeros((n, rank), K.dtype)
+    (L, _), _ = jax.lax.scan(step, (L0, jnp.diagonal(K)), jnp.arange(rank))
+    return L
+
+
+def woodbury_preconditioner(L, noise):
+    """apply(V) ≈ (L Lᵀ + σ²I)⁻¹ V via Woodbury: one k×k Cholesky up front,
+    then two skinny matmuls per application. L: (N, k), noise: scalar σ²."""
+    k = L.shape[1]
+    M = noise * jnp.eye(k, dtype=L.dtype) + jnp.matmul(
+        L.T, L, precision=jax.lax.Precision.HIGHEST
+    )
+    Mc = jnp.linalg.cholesky(M)
+
+    def apply(V):
+        t = jnp.matmul(L.T, V, precision=jax.lax.Precision.HIGHEST)
+        t = jax.scipy.linalg.cho_solve((Mc, True), t)
+        return (V - jnp.matmul(L, t, precision=jax.lax.Precision.HIGHEST)) / noise
+
+    return apply
+
+
+def batched_pcg(matvec: Callable, prec: Callable, B_rhs, *, tol: float = 1e-8,
+                maxiter: int = 256):
+    """Preconditioned CG, same contract as `batched_cg` (per-column
+    convergence on the UNpreconditioned residual, so tol means the same
+    thing with and without preconditioning)."""
+    b_norm2 = jnp.sum(B_rhs * B_rhs, axis=0)  # (R,)
+    stop2 = (tol * tol) * jnp.maximum(b_norm2, 1e-30)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        rs = jnp.sum(r * r, axis=0)
+        return (it < maxiter) & jnp.any(rs > stop2)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        active = jnp.sum(r * r, axis=0) > stop2
+        alpha = jnp.where(active, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[None, :] * p
+        return x, r, z, p, rz_new, it + 1
+
+    x0 = jnp.zeros_like(B_rhs)
+    z0 = prec(B_rhs)
+    state = (x0, B_rhs, z0, z0, jnp.sum(B_rhs * z0, axis=0), jnp.asarray(0))
+    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
 def lanczos_logdet(matvec: Callable, n: int, key, *, num_probes: int = 16,
                    num_lanczos: int = 32, dtype=jnp.float32):
     """SLQ estimate of log|A| for SPD A (size n) via `matvec` on (n, P)."""
@@ -109,15 +182,21 @@ class CGNLLAux(NamedTuple):
     cg_iters: jnp.ndarray
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def nll_cg(K, y, noise, key, num_probes=16, num_lanczos=32, cg_tol=1e-6):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def nll_cg(K, y, noise, key, num_probes=16, num_lanczos=32, cg_tol=1e-6,
+           precond_rank=0):
     """Matrix-free GPR NLL. K: (N, N); y: (N, 1); noise: scalar σ².
-    Stochastic in logdet (SLQ); quad term is CG-exact to cg_tol."""
-    nll, _ = _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol)
+    Stochastic in logdet (SLQ); quad term is CG-exact to cg_tol.
+    precond_rank > 0 enables the rank-k pivoted-Cholesky Woodbury
+    preconditioner on the CG solves (identical solution, fewer K streams —
+    the preconditioner does not change what the iteration converges to)."""
+    nll, _ = _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos,
+                              cg_tol, precond_rank)
     return nll
 
 
-def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol):
+def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol,
+                     precond_rank=0):
     n = K.shape[0]
     dtype = K.dtype
 
@@ -138,7 +217,12 @@ def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol):
         1.0, -1.0,
     ).astype(dtype)
     rhs = jnp.concatenate([y, probes], axis=1)  # (N, 1 + P)
-    sol, iters = batched_cg(matvec, rhs, tol=cg_tol, maxiter=4 * n)
+    if precond_rank and precond_rank > 0:
+        Lpc = pivoted_cholesky(K, precond_rank)
+        prec = woodbury_preconditioner(Lpc, noise)
+        sol, iters = batched_pcg(matvec, prec, rhs, tol=cg_tol, maxiter=4 * n)
+    else:
+        sol, iters = batched_cg(matvec, rhs, tol=cg_tol, maxiter=4 * n)
     alpha, solves = sol[:, :1], sol[:, 1:]
     quad = jnp.sum(y * alpha)
     logdet = lanczos_logdet(
@@ -149,12 +233,14 @@ def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol):
     return nll, aux
 
 
-def _nll_cg_fwd(K, y, noise, key, num_probes, num_lanczos, cg_tol):
-    nll, aux = _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol)
+def _nll_cg_fwd(K, y, noise, key, num_probes, num_lanczos, cg_tol,
+                precond_rank):
+    nll, aux = _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos,
+                                cg_tol, precond_rank)
     return nll, aux
 
 
-def _nll_cg_bwd(num_probes, num_lanczos, cg_tol, aux, g):
+def _nll_cg_bwd(num_probes, num_lanczos, cg_tol, precond_rank, aux, g):
     alpha, Z, S = aux.alpha, aux.probes, aux.probe_solves
     P = Z.shape[1]
     # d logdet/dK ≈ mean_p s_p z_pᵀ (symmetrized); d quad/dK = −α αᵀ

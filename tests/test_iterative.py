@@ -133,3 +133,44 @@ def test_nll_cg_gradients_match_dense(system):
                                    16, 32, 1e-8)
     )(y)
     np.testing.assert_allclose(np.asarray(gy_cg), np.asarray(gy_dense), atol=1e-5)
+
+
+def test_pivoted_cholesky_approximates_K(system):
+    K, y, s2 = system
+    prev = np.inf
+    for rank in (8, 32, 96):
+        L = iterative.pivoted_cholesky(K, rank)
+        err = float(jnp.linalg.norm(K - L @ L.T) / jnp.linalg.norm(K))
+        assert err < prev + 1e-12, (rank, err, prev)
+        prev = err
+    assert prev < 1e-3  # SE kernels have fast spectral decay
+
+
+def test_pcg_matches_cg_with_fewer_iterations(system):
+    K, y, s2 = system
+    Ks = K + s2 * jnp.eye(K.shape[0], dtype=K.dtype)
+    matvec = lambda V: Ks @ V
+    rhs = jnp.concatenate([y, jnp.ones_like(y)], axis=1)
+    x_cg, it_cg = iterative.batched_cg(matvec, rhs, tol=1e-8, maxiter=1200)
+    L = iterative.pivoted_cholesky(K, 48)
+    prec = iterative.woodbury_preconditioner(L, jnp.asarray(s2, K.dtype))
+    x_pcg, it_pcg = iterative.batched_pcg(matvec, prec, rhs, tol=1e-8,
+                                          maxiter=1200)
+    np.testing.assert_allclose(np.asarray(x_pcg), np.asarray(x_cg),
+                               rtol=1e-5, atol=1e-6)
+    assert int(it_pcg) < int(it_cg), (int(it_pcg), int(it_cg))
+
+
+def test_nll_cg_preconditioned_matches_unpreconditioned(system):
+    K, y, s2 = system
+    key = jax.random.PRNGKey(0)
+    base = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 32, 1e-8))
+    pre = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 32, 1e-8, 48))
+    # same probes, same SLQ; the quad term is CG-exact both ways
+    np.testing.assert_allclose(pre, base, rtol=1e-6)
+    gK_b = jax.grad(lambda K: iterative.nll_cg(
+        K, y, jnp.asarray(s2), key, 16, 32, 1e-8))(K)
+    gK_p = jax.grad(lambda K: iterative.nll_cg(
+        K, y, jnp.asarray(s2), key, 16, 32, 1e-8, 48))(K)
+    np.testing.assert_allclose(np.asarray(gK_p), np.asarray(gK_b),
+                               rtol=1e-4, atol=1e-7)
