@@ -260,7 +260,8 @@ def cmd_frontier(args):
                      data_root=cfg.data.data_root)
     res = run_frontier_pipeline(
         args.assets, dh, predict_y=cfg.data.predict_y, rank=args.rank,
-        use_nuts=args.nuts, risk_free_rate=cfg.portfolio.risk_free_rate,
+        use_nuts=args.nuts, nuts_max_depth=args.nuts_depth,
+        risk_free_rate=cfg.portfolio.risk_free_rate,
         maxiter=cfg.train.maxiter * 3,
     )
     print("posterior mu:", np.round(res.mu, 5))
@@ -382,6 +383,9 @@ def main(argv=None):
     p.add_argument("--assets", nargs="+", default=["JPM", "MSFT", "COST", "HLT", "JNJ"])
     p.add_argument("--rank", type=int, default=2)
     p.add_argument("--nuts", action="store_true", help="Bayesian-average moments over NUTS draws")
+    p.add_argument("--nuts-depth", type=int, default=6,
+                   help="NUTS max tree depth (6 keeps the one-jit sampling "
+                        "execution short enough for remote-TPU watchdogs)")
     p.set_defaults(fn=cmd_frontier)
 
     p = sub.add_parser("nuts", help="Bayesian hyperparameter sampling")
