@@ -64,7 +64,7 @@ def main():
         return iterative.nll_cg(K, y, nzs, key, probes, lanczos, tol, prank)
 
     # ---- accuracy vs the dense float64 host reference -------------------
-    if "--xla-only" not in sys.argv:
+    if "--xla-only" not in sys.argv and "--no-acc" not in sys.argv:
         import scipy.linalg as sla
 
         t0 = time.perf_counter()
@@ -83,7 +83,8 @@ def main():
         print(f"host f64 dense reference: {time.perf_counter()-t0:.0f}s "
               f"val={val64:.4f} dnoise={dnz64:.4f}", flush=True)
 
-        vg = jax.jit(jax.value_and_grad(cg_loss, argnums=(0, 1, 2)))
+        acc_loss = pcg_loss if prank > 0 else cg_loss
+        vg = jax.jit(jax.value_and_grad(acc_loss, argnums=(0, 1, 2)))
         t0 = time.perf_counter()
         val, (dK, dy, dnz) = vg(K, y, noise)
         val = float(np.asarray(val))
@@ -91,7 +92,7 @@ def main():
               flush=True)
 
         _, aux = iterative._nll_cg_fwd_impl(K, y, noise, key, probes,
-                                            lanczos, tol)
+                                            lanczos, tol, prank)
         print(f"cg iterations: {int(np.asarray(aux.cg_iters))}", flush=True)
 
         # projections of dK onto random directions (full f64 dK in memory)

@@ -119,15 +119,25 @@ def neg_log_marginal_likelihood_cg(model: GPR, X, Y, key, num_probes: int = 16,
     Stochastic in the log-det; use for N beyond direct-factorization budgets
     with Adam-style optimizers that average gradient noise. This is the
     RECOMMENDED path past the hinv window (padded N > 4096, where the exact
-    dispatch in `batched_neg_log_marginal_likelihood` hands off to XLA):
-    measured round 5 at the reference's full-AAPL N=10,963 (B=1, f32,
-    cg_tol=1e-4 → 124 CG iterations), value+grad runs 116.1 ms/iter vs
-    350.7 ms for the dense XLA path (3.0×), with |ΔNLL|/NLL = 2.7e-5,
-    noise-gradient error 7e-6, and 0.7–3.8% stochastic error on kernel
-    hyperparameter gradients at the default 16 probes
-    (benchmarks/bench_cg_large.py). It stays OUT of the exact dispatch
-    because its log-det and gradients are estimators, not values — callers
-    opt in explicitly."""
+    dispatch in `batched_neg_log_marginal_likelihood` hands off to XLA).
+    Measured round 5 at the reference's full-AAPL N=10,963 (B=1, f32,
+    cg_tol=1e-4, benchmarks/bench_cg_large.py) vs 350.7 ms/iter for the
+    dense XLA value+grad:
+
+    - unpreconditioned (124 CG iters, 32 Lanczos): 116.1 ms/iter (3.0×),
+      |ΔNLL|/NLL = 2.7e-5;
+    - `precond_rank=512`, `num_lanczos=8` (RECOMMENDED at this scale):
+      3 PCG iters, **38.0 ms/iter (9.2×)**, |ΔNLL|/NLL = 2.4e-6 — the
+      rank-k pivoted-Cholesky preconditioner both collapses the CG
+      iteration count and, via the exact split log-det
+      (ops/iterative.split_preconditioner), shrinks the SLQ estimator's
+      error an order of magnitude at a quarter of the Lanczos steps.
+
+    Gradient noise is unchanged by preconditioning (same probe-trace
+    estimator): 7e-6 on the noise gradient, 0.7–3.8% stochastic error on
+    kernel hyperparameter gradients at the default 16 probes. It stays OUT
+    of the exact dispatch because its log-det and gradients are estimators,
+    not values — callers opt in explicitly."""
     from portfoliooptgp_tpu.ops import iterative
 
     K = model.kernel.K(X)

@@ -101,6 +101,42 @@ def woodbury_preconditioner(L, noise):
     return apply
 
 
+def split_preconditioner(L, noise):
+    """For P = L Lᵀ + σ²I, return (apply_P_inv_half, logdet_P) where
+    apply_P_inv_half(V) = P^(-1/2) V and logdet_P is EXACT.
+
+    Basis: W = L U diag(d^(-1/2)) with (d, U) = eigh(LᵀL) has orthonormal
+    columns spanning range(L), so P = W diag(σ²+d) Wᵀ + σ²(I − W Wᵀ) and
+
+        P^(-1/2) v = v/σ + W (diag((σ²+d)^(-1/2)) − I/σ) Wᵀ v
+        log|P|     = Σ_active log(σ²+d_i) + (N − k_active) log σ²
+
+    Numerically-dependent pivoted-Cholesky columns (d_i below a relative
+    floor) are dropped from both the basis and the logdet sum — they fold
+    into the σ² subspace, keeping the split exact. Enables the split-SLQ
+    logdet: log|Ks| = log|P| + log|P^(-1/2) Ks P^(-1/2)|, where the
+    whitened operator's clustered spectrum needs far fewer Lanczos steps."""
+    n, k = L.shape
+    hi = jax.lax.Precision.HIGHEST
+    G = jnp.matmul(L.T, L, precision=hi)
+    d, U = jnp.linalg.eigh(G)
+    active = d > jnp.maximum(jnp.max(d), 1e-30) * 1e-6
+    d_safe = jnp.where(active, d, 1.0)
+    W = jnp.matmul(L, (U / jnp.sqrt(d_safe)[None, :]) * active[None, :],
+                   precision=hi)
+    inv_sigma = 1.0 / jnp.sqrt(noise)
+    scale = jnp.where(active, 1.0 / jnp.sqrt(noise + d_safe) - inv_sigma, 0.0)
+
+    def apply(V):
+        t = jnp.matmul(W.T, V, precision=hi)
+        return inv_sigma * V + jnp.matmul(W, scale[:, None] * t, precision=hi)
+
+    k_active = jnp.sum(active)
+    logdet_P = (jnp.sum(jnp.where(active, jnp.log(noise + d_safe), 0.0))
+                + (n - k_active) * jnp.log(noise))
+    return apply, logdet_P
+
+
 def batched_pcg(matvec: Callable, prec: Callable, B_rhs, *, tol: float = 1e-8,
                 maxiter: int = 256):
     """Preconditioned CG, same contract as `batched_cg` (per-column
@@ -225,9 +261,25 @@ def _nll_cg_fwd_impl(K, y, noise, key, num_probes, num_lanczos, cg_tol,
         sol, iters = batched_cg(matvec, rhs, tol=cg_tol, maxiter=4 * n)
     alpha, solves = sol[:, :1], sol[:, 1:]
     quad = jnp.sum(y * alpha)
-    logdet = lanczos_logdet(
-        matvec, n, key, num_probes=num_probes, num_lanczos=num_lanczos, dtype=dtype
-    )
+    if precond_rank and precond_rank > 0:
+        # split-SLQ: log|Ks| = log|P| (exact) + log|P^-1/2 Ks P^-1/2| (SLQ
+        # on the whitened operator, whose spectrum clusters at 1 — both the
+        # Lanczos convergence and the probe variance improve by the same
+        # mechanism that cut the CG iterations)
+        phalf_inv, logdet_P = split_preconditioner(Lpc, noise)
+
+        def matvec_white(V):
+            return phalf_inv(matvec(phalf_inv(V)))
+
+        logdet = logdet_P + lanczos_logdet(
+            matvec_white, n, key, num_probes=num_probes,
+            num_lanczos=num_lanczos, dtype=dtype
+        )
+    else:
+        logdet = lanczos_logdet(
+            matvec, n, key, num_probes=num_probes, num_lanczos=num_lanczos,
+            dtype=dtype
+        )
     nll = 0.5 * quad + 0.5 * logdet + 0.5 * n * LOG2PI
     aux = CGNLLAux(alpha=alpha, probes=probes, probe_solves=solves, cg_iters=iters)
     return nll, aux

@@ -162,15 +162,60 @@ def test_pcg_matches_cg_with_fewer_iterations(system):
 
 
 def test_nll_cg_preconditioned_matches_unpreconditioned(system):
+    """Preconditioning changes only the logdet ESTIMATOR (split-SLQ on the
+    whitened operator), never the quad term or the gradients: the CG solves
+    converge to the same solution and the VJP trace probes are shared."""
     K, y, s2 = system
+    n = K.shape[0]
     key = jax.random.PRNGKey(0)
+    Ks = np.asarray(K) + s2 * np.eye(n)
+    true_nll = (0.5 * float((np.asarray(y)
+                             * np.linalg.solve(Ks, np.asarray(y))).sum())
+                + np.log(np.diag(np.linalg.cholesky(Ks))).sum()
+                + 0.5 * n * np.log(2 * np.pi))
     base = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 32, 1e-8))
     pre = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 32, 1e-8, 48))
-    # same probes, same SLQ; the quad term is CG-exact both ways
-    np.testing.assert_allclose(pre, base, rtol=1e-6)
+    scale = max(abs(true_nll), 1.0)
+    assert abs(pre - true_nll) / scale < 1e-3
+    assert abs(base - true_nll) / scale < 1.0  # plain SLQ is far noisier
     gK_b = jax.grad(lambda K: iterative.nll_cg(
         K, y, jnp.asarray(s2), key, 16, 32, 1e-8))(K)
     gK_p = jax.grad(lambda K: iterative.nll_cg(
         K, y, jnp.asarray(s2), key, 16, 32, 1e-8, 48))(K)
     np.testing.assert_allclose(np.asarray(gK_p), np.asarray(gK_b),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_split_preconditioner_exact_logdet_and_apply(system):
+    K, y, s2 = system
+    n = K.shape[0]
+    L = iterative.pivoted_cholesky(K, 48)
+    app, ldP = iterative.split_preconditioner(L, jnp.asarray(s2))
+    # apply twice == P^{-1}
+    V = jnp.asarray(np.random.default_rng(1).normal(size=(n, 3)))
+    PinvV = app(app(V))
+    recon = L @ (L.T @ PinvV) + s2 * PinvV
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(V),
+                               rtol=1e-4, atol=1e-4)
+    Pd = np.asarray(L) @ np.asarray(L).T + s2 * np.eye(n)
+    want = np.linalg.slogdet(Pd)[1]
+    np.testing.assert_allclose(float(ldP), want, rtol=1e-4)
+
+
+def test_nll_cg_split_slq_beats_plain_slq(system):
+    """The whitened-operator SLQ should be dramatically more accurate at a
+    small Lanczos budget: the preconditioner absorbs the spread spectrum."""
+    K, y, s2 = system
+    n = K.shape[0]
+    Ks = np.asarray(K) + s2 * np.eye(n)
+    Ld = np.linalg.cholesky(Ks)
+    alpha = np.linalg.solve(Ks, np.asarray(y))
+    true_nll = (0.5 * float((np.asarray(y) * alpha).sum())
+                + np.log(np.diag(Ld)).sum() + 0.5 * n * np.log(2 * np.pi))
+    key = jax.random.PRNGKey(0)
+    plain = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 8, 1e-8))
+    split = float(iterative.nll_cg(K, y, jnp.asarray(s2), key, 16, 8, 1e-8, 48))
+    err_plain = abs(plain - true_nll)
+    err_split = abs(split - true_nll)
+    assert err_split < 0.05 * max(err_plain, 1e-10), (err_plain, err_split)
+    assert err_split / max(abs(true_nll), 1.0) < 1e-3
