@@ -74,7 +74,12 @@ def pivoted_cholesky(K, rank: int, jitter: float = 1e-30):
         L, d = carry
         piv = jnp.argmax(d)
         val = jnp.sqrt(jnp.maximum(d[piv], jitter))
-        col = (jnp.take(K, piv, axis=1) - L @ L[piv]) / val
+        # precision pinned: a single-bf16-pass projection degrades the
+        # factor enough that the whitened spectrum stops clustering and the
+        # split-SLQ logdet loses its accuracy (same class of failure as the
+        # CG/Lanczos and natgrad fixes)
+        proj = jnp.matmul(L, L[piv], precision=jax.lax.Precision.HIGHEST)
+        col = (jnp.take(K, piv, axis=1) - proj) / val
         L = L.at[:, i].set(col)
         d = jnp.maximum(d - col * col, 0.0)
         return (L, d), None

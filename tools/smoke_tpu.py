@@ -307,6 +307,45 @@ def run_smoke(only: str | None = None):
         return max(abs(vc - vd) / abs(vd), gerr)
     check("cg_slq NLL N=2048", cg_slq_nll)
 
+    # preconditioned variant: rank-k pivoted Cholesky + split-SLQ logdet
+    # (the recommended large-N call) — guards the pivoted-chol scan,
+    # Woodbury PCG, and split_preconditioner lowering on chip
+    def pcg_split_slq_nll():
+        import jax.numpy as jnp
+
+        from portfoliooptgp_tpu.ops import iterative
+
+        n = 2048
+        x = jnp.asarray(np.arange(n), jnp.float32)
+        d2 = (x[:, None] - x[None, :]) ** 2
+        Y = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+
+        def loss_pcg(p):
+            v, l, nz = p
+            K = v * jnp.exp(-0.5 * d2 / (l * l))
+            return iterative.nll_cg(K, Y, nz, key, 64, 8, 1e-6, 256)
+
+        def loss_dense(p):
+            v, l, nz = p
+            K = v * jnp.exp(-0.5 * d2 / (l * l))
+            Ks = K + nz * jnp.eye(n, dtype=K.dtype)
+            L = jnp.linalg.cholesky(Ks)
+            a = jax.scipy.linalg.solve_triangular(L, Y, lower=True)
+            return (0.5 * jnp.sum(a * a) + jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + 0.5 * n * jnp.log(2 * jnp.pi))
+
+        p0 = tuple(jnp.asarray(t, jnp.float32) for t in (1.3, 30.0, 0.1))
+        (vc, gc) = jax.jit(jax.value_and_grad(loss_pcg))(p0)
+        (vd, gd) = jax.jit(jax.value_and_grad(loss_dense))(p0)
+        vc, vd = float(vc), float(vd)
+        assert np.isfinite(vc), "non-finite PCG NLL"
+        # split-SLQ is tighter than plain SLQ even at 8 Lanczos steps
+        np.testing.assert_allclose(vc, vd, rtol=2e-3)
+        gerr = grad_err(gc, gd, 2e-1)  # 64 probes (vs 128 above)
+        return max(abs(vc - vd) / abs(vd), gerr)
+    check("pcg split-slq NLL N=2048 rank=256", pcg_split_slq_nll)
+
     # ragged hinv window: the uneven-split hierarchical inverse at N=2560
     # (20 panels -> 16+4, no power-of-two padding) — W L = I on chip
     def uneven_inverse():
