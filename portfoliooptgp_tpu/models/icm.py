@@ -111,15 +111,39 @@ def neg_log_marginal_likelihood_chol(model: ICMGPR, X, Y):
     remote worker outright at N=261, P=20, 300 NUTS iterations), while the
     batched-Cholesky form is the fused/blocked tier's home shape.
     Differentiates through eigh(B) exactly like `decompose` does."""
+    from portfoliooptgp_tpu.kernels import stationary as st_kernels
     from portfoliooptgp_tpu.ops.pallas import blocked_nll as blocked_mod
     from portfoliooptgp_tpu.ops.pallas import nll as nll_mod
+    from portfoliooptgp_tpu.ops.pallas import stationary_nll as st_mod
 
     n, p = Y.shape
     lam_b, E = safe_eigh(model.B)
     err = (Y @ E).T  # (P, N): per-output residuals in B's eigenbasis
+    noise = jnp.broadcast_to(model.likelihood.variance, (p,))
+
+    # fused fast path: for a bare isotropic stationary base kernel the P
+    # shifted problems ARE a fused-tier batch — shared d2 matrix, per-model
+    # variance λb_i·v (λ scaling is a variance tweak), shared lengthscale.
+    # K never hits HBM; this is the same kernel the GPR restart batch uses.
+    FAMILY_OF = {
+        st_kernels.SquaredExponential: "se",
+        st_kernels.Matern12: "matern12",
+        st_kernels.Matern32: "matern32",
+        st_kernels.Matern52: "matern52",
+    }
+    fam = FAMILY_OF.get(type(model.kernel))
+    if (fam is not None and jnp.ndim(model.kernel.raw_lengthscales) == 0
+            and n + ((-n) % 128) <= st_mod.MAX_FUSED_N):
+        Xs = model.kernel.slice_x(X)
+        d2 = st_kernels.scaled_squared_distance(
+            Xs, Xs, jnp.ones((), Xs.dtype))
+        v = lam_b * model.kernel.variance
+        ell = jnp.broadcast_to(model.kernel.lengthscales, (p,))
+        losses = st_mod.batched_nll_stationary(d2, err, v, ell, noise, fam)
+        return jnp.sum(losses)
+
     Kx = model.kernel.K(X)  # built ONCE, shared by all P outputs
     Kb = lam_b[:, None, None] * Kx[None]
-    noise = jnp.broadcast_to(model.likelihood.variance, (p,))
     if nll_mod.pallas_nll_supported(n):
         losses = nll_mod.batched_nll(Kb, err, noise)
     elif blocked_mod.blocked_nll_preferred(n):
