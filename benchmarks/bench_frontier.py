@@ -48,6 +48,9 @@ def make_assets(root: str, seed: int = 11):
 def main():
     import jax
 
+    import _cache
+    _cache.enable()
+
     from portfoliooptgp_tpu.data.handler import DataHandler
     from portfoliooptgp_tpu.pipelines.frontier_pipeline import (
         run_frontier_pipeline)
