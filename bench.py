@@ -366,15 +366,11 @@ def main():
 
     import jax
 
-    # Persistent compilation cache (works through the axon remote-compile
-    # tunnel: measured 154 s -> 0.8 s for a repeat compile). First run
-    # populates <repo>/.jax_cache; subsequent driver rounds and user runs
-    # pay near-zero compile cost — the production deployment model.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # Persistent compilation cache (see utils/compile_cache.py and the
+    # BENCH_NOTES round-5 section): first run populates, driver rounds and
+    # user runs after that pay near-zero compile cost.
+    from portfoliooptgp_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
 
     use_cpu = "--cpu" in sys.argv
     if use_cpu:

@@ -1,16 +1,12 @@
-"""Shared persistent-compile-cache setup for the standalone benchmarks
-(bench.py and the CLI enable the same cache; see BENCH_NOTES round-5)."""
+"""Shared persistent-compile-cache setup for the standalone benchmarks —
+delegates to the canonical package helper (utils/compile_cache.py)."""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def enable():
-    import jax
+    from portfoliooptgp_tpu.utils.compile_cache import enable as _enable
 
-    cache = os.environ.get(
-        "PORTFOLIOOPTGP_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"))
-    if cache and cache != "0":
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    return _enable()

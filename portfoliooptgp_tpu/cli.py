@@ -327,19 +327,9 @@ def cmd_nuts(args):
 def main(argv=None):
     # persistent compile cache: repeat invocations of the same pipeline
     # shapes skip XLA compilation entirely (~0 s vs 20-150 s per program
-    # through the remote tunnel); see bench.py for the measurement
-    import os as _os
-
-    import jax as _jax
-
-    _cache = _os.environ.get(
-        "PORTFOLIOOPTGP_JAX_CACHE",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
-    if _cache and _cache != "0":
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # through the remote tunnel); see utils/compile_cache.py
+    from portfoliooptgp_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
 
     parser = argparse.ArgumentParser(prog="portfoliooptgp_tpu")
     sub = parser.add_subparsers(dest="command", required=True)

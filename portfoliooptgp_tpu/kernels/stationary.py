@@ -152,3 +152,19 @@ class RationalQuadratic(Stationary):
     def K_r2(self, r2):
         a = self.alpha
         return self.variance * jnp.exp(-a * jnp.log1p(r2 / (2.0 * a)))
+
+
+#: Canonical kernel-class → fused-Pallas-family mapping (the `family`
+#: argument of ops/pallas/stationary_nll). Single source of truth for the
+#: GPR dispatch (models/gpr.fused_stationary_spec) and the ICM chol-NLL
+#: fast path (models/icm.neg_log_marginal_likelihood_chol). "rq" carries
+#: its alpha through the per-atom scalar slot and is only usable by
+#: callers that thread it (the GPR spec does; simple per-family callers
+#: should filter it out).
+FUSED_FAMILY_OF = {
+    SquaredExponential: "se",
+    Matern12: "matern12",
+    Matern32: "matern32",
+    Matern52: "matern52",
+    RationalQuadratic: "rq",
+}

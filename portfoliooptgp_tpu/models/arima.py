@@ -114,12 +114,19 @@ def fit_arima(y, order=(3, 1, 0)) -> ARIMAResult:
     # stationary AR / invertible MA model, matching statsmodels' default
     # enforce_stationarity/enforce_invertibility behavior.
     phi0, theta0 = _hannan_rissanen_init(z, p, q)
+    # Sign convention: this module's CSS recursion is
+    # ε_t = z_t − φ·z − θ·ε, i.e. the MA polynomial is 1 + θ(B).
+    # Invertibility of 1 + θ(B) ⇔ stationarity of 1 − (−θ)(B), so the
+    # Levinson–Durbin map is applied to −θ (see _pacf_to_coef docstring);
+    # mapping +θ would parametrize the stationary set instead of the
+    # invertible one — reachable non-invertible fits AND unreachable
+    # invertible optima for q ≥ 2.
     x0 = np.arctanh(np.concatenate([_coef_to_pacf(phi0),
-                                    _coef_to_pacf(theta0)]))
+                                    _coef_to_pacf(-theta0)]))
 
     def unpack(x):
         r = np.tanh(x)
-        return _pacf_to_coef(r[:p]), _pacf_to_coef(r[p:])
+        return _pacf_to_coef(r[:p]), -_pacf_to_coef(r[p:])
 
     def css(x):
         phi, theta = unpack(x)

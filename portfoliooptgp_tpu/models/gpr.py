@@ -189,13 +189,7 @@ def fused_stationary_spec(stacked_model, X):
     from portfoliooptgp_tpu.kernels.linear import Linear
     from portfoliooptgp_tpu.kernels.periodic import Periodic
 
-    FAMILY_OF = {
-        st_kernels.SquaredExponential: "se",
-        st_kernels.Matern12: "matern12",
-        st_kernels.Matern32: "matern32",
-        st_kernels.Matern52: "matern52",
-        st_kernels.RationalQuadratic: "rq",
-    }
+    FAMILY_OF = st_kernels.FUSED_FAMILY_OF
 
     one = jnp.ones((), X.dtype)
 

@@ -121,18 +121,24 @@ def neg_log_marginal_likelihood_chol(model: ICMGPR, X, Y):
     err = (Y @ E).T  # (P, N): per-output residuals in B's eigenbasis
     noise = jnp.broadcast_to(model.likelihood.variance, (p,))
 
+    # Pallas tiers require float32 end to end, like gpr.nll_tier: with
+    # jax_enable_x64 (the CPU parity mode) or f64-promoted params, fall
+    # through to the vmapped XLA path at the bottom instead of handing
+    # Mosaic an f64 kernel.
+    f32 = (X.dtype == jnp.float32
+           and all(jnp.asarray(l).dtype == jnp.float32
+                   for l in jax.tree.leaves(model)))
+
     # fused fast path: for a bare isotropic stationary base kernel the P
     # shifted problems ARE a fused-tier batch — shared d2 matrix, per-model
     # variance λb_i·v (λ scaling is a variance tweak), shared lengthscale.
     # K never hits HBM; this is the same kernel the GPR restart batch uses.
-    FAMILY_OF = {
-        st_kernels.SquaredExponential: "se",
-        st_kernels.Matern12: "matern12",
-        st_kernels.Matern32: "matern32",
-        st_kernels.Matern52: "matern52",
-    }
-    fam = FAMILY_OF.get(type(model.kernel))
-    if (fam is not None and jnp.ndim(model.kernel.raw_lengthscales) == 0
+    # rq excluded: batched_nll_stationary has no alpha slot (the GPR spec
+    # path threads it; here the dense tiers below handle rq correctly)
+    fam = st_kernels.FUSED_FAMILY_OF.get(type(model.kernel))
+    fam = None if fam == "rq" else fam
+    if (f32 and fam is not None
+            and jnp.ndim(model.kernel.raw_lengthscales) == 0
             and n + ((-n) % 128) <= st_mod.MAX_FUSED_N):
         Xs = model.kernel.slice_x(X)
         d2 = st_kernels.scaled_squared_distance(
@@ -144,11 +150,11 @@ def neg_log_marginal_likelihood_chol(model: ICMGPR, X, Y):
 
     Kx = model.kernel.K(X)  # built ONCE, shared by all P outputs
     Kb = lam_b[:, None, None] * Kx[None]
-    if nll_mod.pallas_nll_supported(n):
+    if f32 and nll_mod.pallas_nll_supported(n):
         losses = nll_mod.batched_nll(Kb, err, noise)
-    elif blocked_mod.blocked_nll_preferred(n):
+    elif f32 and blocked_mod.blocked_nll_preferred(n):
         losses = blocked_mod.batched_nll_blocked(Kb, err, noise)
-    elif blocked_mod.hinv_nll_preferred(n, p):
+    elif f32 and blocked_mod.hinv_nll_preferred(n, p):
         losses = blocked_mod.batched_nll_hinv(Kb, err, noise)
     else:
         eye = jnp.eye(n, dtype=Kx.dtype)

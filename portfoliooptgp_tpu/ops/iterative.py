@@ -34,32 +34,11 @@ def batched_cg(matvec: Callable, B_rhs, *, tol: float = 1e-8, maxiter: int = 256
 
     matvec: (N, R) -> (N, R) applying A column-wise; B_rhs: (N, R).
     Per-column scalars, one fused while_loop; columns that converge stop
-    contributing updates (their alpha is zeroed).
+    contributing updates (their alpha is zeroed). Plain CG is exactly
+    `batched_pcg` with the identity preconditioner (z = r, ⟨r, z⟩ = ‖r‖²) —
+    one loop, one convergence/guard policy for both paths.
     """
-    b_norm2 = jnp.sum(B_rhs * B_rhs, axis=0)  # (R,)
-    stop2 = (tol * tol) * jnp.maximum(b_norm2, 1e-30)
-
-    def cond(state):
-        x, r, p, rs, it = state
-        return (it < maxiter) & jnp.any(rs > stop2)
-
-    def body(state):
-        x, r, p, rs, it = state
-        Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=0)
-        active = rs > stop2
-        alpha = jnp.where(active, rs / jnp.where(pAp > 0, pAp, 1.0), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
-        rs_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(active, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
-        p = r + beta[None, :] * p
-        return x, r, p, rs_new, it + 1
-
-    x0 = jnp.zeros_like(B_rhs)
-    state = (x0, B_rhs, B_rhs, b_norm2, jnp.asarray(0))
-    x, r, p, rs, it = jax.lax.while_loop(cond, body, state)
-    return x, it
+    return batched_pcg(matvec, lambda V: V, B_rhs, tol=tol, maxiter=maxiter)
 
 
 def pivoted_cholesky(K, rank: int, jitter: float = 1e-30):

@@ -236,3 +236,21 @@ def test_icm_chol_moments_match_eigh(rng):
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S2),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_icm_chol_nll_fused_route_f32(rng):
+    """In float32 with a bare isotropic kernel the chol NLL takes the fused
+    stationary tier (interpret mode on CPU); parity vs the f64 eigh NLL."""
+    X, Y = make_mo_data(rng, n=40, p=5)
+    model = icm.ICMGPR.create(
+        km.SquaredExponential.create(1.2, 0.8), num_outputs=5, rank=2,
+        noise_variance=0.1, w_scale=0.5,
+    )
+    m32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model)
+    X32 = jnp.asarray(X, jnp.float32)
+    Y32 = jnp.asarray(Y, jnp.float32)
+    got = float(icm.neg_log_marginal_likelihood_chol(m32, X32, Y32))
+    want = float(icm.neg_log_marginal_likelihood(model, X, Y))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    g = jax.grad(lambda m: icm.neg_log_marginal_likelihood_chol(m, X32, Y32))(m32)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))

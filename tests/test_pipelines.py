@@ -227,13 +227,16 @@ def test_arima_enforces_stationary_invertible():
 
     for order in [(1, 1, 1), (3, 1, 2)]:
         res = arima.fit_arima(y, order=order)
-        # all PACF coordinates strictly inside (−1, 1) ⇔ stationary/invertible
-        assert np.all(np.abs(arima._coef_to_pacf(res.ar_coefs)) < 1.0)
-        assert np.all(np.abs(arima._coef_to_pacf(res.ma_coefs)) < 1.0)
-        # AR polynomial roots outside the unit circle (the direct criterion)
+        # direct root criteria (the PACF-space check is vacuous — the
+        # inverse transform clips into (−1, 1) for ANY coefficients):
+        # characteristic roots of 1 − φ(B) and of 1 + θ(B), in x = 1/B
+        # form, must lie strictly inside the unit circle
         if len(res.ar_coefs):
             roots = np.roots(np.r_[1.0, -res.ar_coefs])
             assert np.all(np.abs(roots) < 1.0 + 1e-8)
+        if len(res.ma_coefs):
+            roots = np.roots(np.r_[1.0, res.ma_coefs])
+            assert np.all(np.abs(roots) < 1.0 + 1e-8), res.ma_coefs
         fc = arima.forecast(y, res, steps=50)
         assert np.all(np.isfinite(fc))
         # a stationary in-differences model cannot blow up over 50 steps
@@ -243,6 +246,27 @@ def test_arima_enforces_stationary_invertible():
     r = np.array([0.6, -0.4, 0.2])
     np.testing.assert_allclose(
         arima._coef_to_pacf(arima._pacf_to_coef(r)), r, atol=1e-12)
+
+
+def test_arima_invertible_ma2_is_reachable():
+    """Sign regression guard for the +θ CSS convention: the PACF map must be
+    applied to −θ. With the wrong sign, an invertible MA(2) with
+    θ = (−1.6, 0.7) (roots of 1 + θ(B) at |B| ≈ 1.2) is OUTSIDE the
+    reachable set and the fit lands far away with ~4× the true σ²."""
+    rng = np.random.default_rng(11)
+    n = 6000
+    theta_true = np.array([-1.6, 0.7])
+    eps = 0.1 * rng.normal(size=n)
+    dz = eps.copy()
+    dz[1:] += theta_true[0] * eps[:-1]
+    dz[2:] += theta_true[1] * eps[:-2]
+    y = 10 + np.cumsum(dz)
+
+    res = arima.fit_arima(y, order=(0, 1, 2))
+    np.testing.assert_allclose(res.ma_coefs, theta_true, atol=0.08)
+    np.testing.assert_allclose(res.sigma2, 0.01, rtol=0.3)
+    roots = np.roots(np.r_[1.0, res.ma_coefs])
+    assert np.all(np.abs(roots) < 1.0 + 1e-8)
 
 
 def test_arima_pipeline(market):
